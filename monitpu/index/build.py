@@ -1,0 +1,247 @@
+"""Offline index construction (host-side).
+
+Replaces the reference's PFP -> pfp_thresholds -> bigrepair -> SlpEncBuild
+subprocess pipeline (reference pipeline/moni.in:419-491) with a direct
+suffix-array construction: SA via native SA-IS (monitpu/native) with a
+NumPy prefix-doubling fallback, LCP via Kasai, then all run tables,
+thresholds, SA samples and Phi anchors derived vectorized in NumPy.
+
+The reference needs PFP because it targets texts far beyond RAM on small
+machines; on a TPU host (100s of GB RAM) direct construction is simpler,
+exact, and fast enough for chromosome-scale pangenomes. The output schema
+is MoniIndex (see schema.py).
+
+Threshold semantics (reference thirdparty/pfp-thresholds, consumed at
+include/ms/moni.hpp:598-617): for consecutive runs of char c ending at row
+e and next starting at row s, the threshold is the first row t in (e, s]
+minimizing LCP[t]; backward search jumps up iff pos < t, expressed at query
+time as rank comparisons (see ops/ms.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .alphabet import SIGMA, SEP, encode_seq
+from .schema import MoniIndex, BLOCK_BITS, PAD_POS
+
+
+# ----------------------------------------------------------------------
+# Suffix array
+# ----------------------------------------------------------------------
+
+def suffix_array(t: np.ndarray) -> np.ndarray:
+    """Suffix array of int8/int array t. Native SA-IS if available,
+    else O(n log^2 n) NumPy prefix doubling."""
+    try:
+        from ..native import sais  # noqa: PLC0415
+        return sais.suffix_array(t)
+    except Exception:
+        return _suffix_array_doubling(t)
+
+
+def _suffix_array_doubling(t: np.ndarray) -> np.ndarray:
+    t = np.asarray(t, dtype=np.int64)
+    n = t.size
+    rank = np.unique(t, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            second[: n - k] = rank[k:]
+        sa = np.lexsort((second, rank))
+        key_r = rank[sa]
+        key_s = second[sa]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (np.diff(key_r) != 0) | (np.diff(key_s) != 0)
+        newrank = np.empty(n, dtype=np.int64)
+        newrank[sa] = np.cumsum(changed)
+        rank = newrank
+        if rank[sa[-1]] == n - 1:
+            return sa.astype(np.int32)
+        k *= 2
+
+
+def bwt_from_sa(t: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    n = t.shape[0]
+    idx = sa.astype(np.int64) - 1
+    idx[idx < 0] = n - 1
+    return t[idx]
+
+
+def lcp_kasai(t: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP[i] = lce(T[SA[i-1]..], T[SA[i]..]); LCP[0] = 0."""
+    try:
+        from ..native import sais  # noqa: PLC0415
+        return sais.lcp_array(t, sa)
+    except Exception:
+        pass
+    n = t.shape[0]
+    sa64 = sa.astype(np.int64)
+    isa = np.empty(n, dtype=np.int64)
+    isa[sa64] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int32)
+    h = 0
+    for i in range(n):
+        ri = isa[i]
+        if ri > 0:
+            j = sa64[ri - 1]
+            while i + h < n and j + h < n and t[i + h] == t[j + h]:
+                h += 1
+            lcp[ri] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+# ----------------------------------------------------------------------
+# Full index build
+# ----------------------------------------------------------------------
+
+def build_index(seqs, names=None, already_encoded: bool = False) -> MoniIndex:
+    """Build a MoniIndex from a list of sequences (bytes/str or code arrays).
+
+    Each sequence is terminated with SEP; the final SEP doubles as the
+    text terminator (smallest char, so suffix order is well defined)."""
+    if names is None:
+        names = [f"seq{i}" for i in range(len(seqs))]
+    parts, starts = [], [0]
+    for s in seqs:
+        codes = np.asarray(s, dtype=np.int8) if already_encoded else encode_seq(s)
+        parts.append(codes)
+        parts.append(np.array([SEP], dtype=np.int8))
+        starts.append(starts[-1] + codes.size + 1)
+    text = np.concatenate(parts)
+    n = text.size
+    assert n < 2**31 - 2, "int32 index limit"
+
+    sa = suffix_array(text)
+    return build_index_from_sa(text, sa, np.asarray(starts, dtype=np.int64),
+                               list(names))
+
+
+def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
+    n = text.size
+    sa = sa.astype(np.int32)
+    sa64 = sa.astype(np.int64)
+    bwt = bwt_from_sa(text, sa)
+    lcp = lcp_kasai(text, sa).astype(np.int32)
+    isa = np.empty(n, dtype=np.int64)
+    isa[sa64] = np.arange(n)
+
+    # F: cumulative counts
+    counts = np.bincount(text.astype(np.int64), minlength=SIGMA)
+    F = np.zeros(SIGMA + 1, dtype=np.int64)
+    F[1:] = np.cumsum(counts)
+
+    # runs
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = bwt[1:] != bwt[:-1]
+    run_starts = np.flatnonzero(boundary).astype(np.int32)
+    r = run_starts.size
+    run_heads = bwt[run_starts].astype(np.int8)
+    run_ends = np.empty(r, dtype=np.int64)
+    run_ends[:-1] = run_starts[1:].astype(np.int64) - 1
+    run_ends[-1] = n - 1
+    run_lens = run_ends - run_starts + 1
+
+    samples_start = sa[run_starts].astype(np.int32)
+    samples_last = sa[run_ends].astype(np.int32)
+
+    # block-sampled run_of_position
+    nblocks = (n >> BLOCK_BITS) + 1
+    block_pos = np.arange(nblocks, dtype=np.int64) << BLOCK_BITS
+    block_run = (np.searchsorted(run_starts, block_pos, side="right") - 1
+                 ).astype(np.int32)
+    block_run = np.concatenate([block_run, np.array([r - 1], dtype=np.int32)])
+
+    # per-(run, char) tables
+    heads64 = run_heads.astype(np.int64)
+    onehot = np.zeros((r, SIGMA), dtype=np.int64)
+    onehot[np.arange(r), heads64] = 1
+    run_crank = np.cumsum(onehot, axis=0) - onehot          # c-runs before j
+    clen = np.cumsum(onehot * run_lens[:, None], axis=0) - onehot * run_lens[:, None]
+
+    # per-char c-run id lists and fused sample tables
+    nruns_c = onehot.sum(axis=0).astype(np.int32)
+    rc_max = max(int(nruns_c.max()), 1)
+    csamples_start = np.zeros((SIGMA, rc_max), dtype=np.int32)
+    csamples_last = np.zeros((SIGMA, rc_max), dtype=np.int32)
+    cruns = []  # per-char run ids, used for thresholds below
+    for c in range(SIGMA):
+        ids = np.flatnonzero(heads64 == c)
+        cruns.append(ids)
+        csamples_start[c, : ids.size] = samples_start[ids]
+        csamples_last[c, : ids.size] = samples_last[ids]
+
+    # thresholds: per char, first argmin of LCP in (end_k, start_{k+1}]
+    # composite key lcp*n + row: segment-min decodes to the first argmin row.
+    lcp64 = lcp.astype(np.int64)
+    comp = lcp64 * np.int64(n) + np.arange(n, dtype=np.int64)
+    comp_ext = np.concatenate([comp, [np.iinfo(np.int64).max]])
+    thr_cnt_run = np.zeros((r, SIGMA), dtype=np.int32)
+    thr_pos_run = np.full((r, SIGMA), PAD_POS, dtype=np.int32)
+    rs64 = run_starts.astype(np.int64)
+    for c in range(SIGMA):
+        ids = cruns[c]
+        if ids.size < 2:
+            continue
+        lo = run_ends[ids[:-1]] + 1                     # first row in (e, s]
+        hi = rs64[ids[1:]] + 1                          # exclusive end
+        bounds = np.empty(2 * lo.size, dtype=np.int64)
+        bounds[0::2], bounds[1::2] = lo, hi
+        pos_c = np.minimum.reduceat(comp_ext, bounds)[0::2] % n  # sorted
+        thr_cnt_run[:, c] = np.searchsorted(pos_c, rs64, side="left")
+        # the (unique) c-threshold inside run j, if any: thresholds of char c
+        # are separated by a c-run, so each run owns at most one.
+        owner = np.searchsorted(rs64, pos_c, side="right") - 1
+        thr_pos_run[owner, c] = pos_c.astype(np.int32)
+
+    # Phi / Phi^-1 / PLCP successor anchors
+    phi_z, phi_w, phi_wl = _phi_anchors(sa64, isa, lcp64, run_starts, n,
+                                        from_starts=True)
+    phiinv_z, phiinv_w, phiinv_wl = _phi_anchors(sa64, isa, lcp64, run_ends, n,
+                                                 from_starts=False)
+
+    return MoniIndex(
+        text=text, seq_starts=seq_starts, seq_names=seq_names,
+        F=F, run_starts=run_starts, run_heads=run_heads,
+        samples_start=samples_start, samples_last=samples_last,
+        block_run=block_run,
+        clen_at_run=clen.astype(np.int32), run_crank=run_crank.astype(np.int32),
+        thr_cnt_run=thr_cnt_run, thr_pos_run=thr_pos_run,
+        csamples_start=csamples_start, csamples_last=csamples_last,
+        nruns_c=nruns_c,
+        phi_z=phi_z, phi_w=phi_w, phi_wl=phi_wl,
+        phiinv_z=phiinv_z, phiinv_w=phiinv_w, phiinv_wl=phiinv_wl,
+        n=n, r=r, sa0=int(sa[0]), sa_last=int(sa[n - 1]),
+    )
+
+
+def _phi_anchors(sa64, isa, lcp64, rows, n, from_starts):
+    """Anchor arrays for Phi (run starts) or Phi^-1 (run ends).
+
+    Anchors live at text positions Z = {(SA[row]-1) mod n}. At each anchor z:
+      Phi(z)      = SA[isa[z]-1],  PLCP(z) = LCP[isa[z]]        (run starts)
+      Phi^-1(z)   = SA[isa[z]+1],  lcp(z,.) = LCP[isa[z]+1]     (run ends)
+    Between anchors both maps are linear with slope 1 (values) / -1 (lcp
+    as q increases toward its successor anchor); see schema.py docstring."""
+    z = (sa64[rows] - 1) % n
+    # always include n-1 so every query has a successor anchor
+    if not np.any(z == n - 1):
+        z = np.concatenate([z, [n - 1]])
+    z = np.unique(z)  # sorted
+    i = isa[z]
+    if from_starts:
+        prev = np.where(i > 0, i - 1, 0)
+        w = sa64[prev]            # garbage at i==0, masked by callers (q==sa0)
+        wl = lcp64[i]
+    else:
+        nxt = np.where(i < n - 1, i + 1, n - 1)
+        w = sa64[nxt]
+        wl = np.where(i < n - 1, lcp64[np.minimum(i + 1, n - 1)], 0)
+    return (z.astype(np.int32), w.astype(np.int32), wl.astype(np.int32))
