@@ -1,0 +1,66 @@
+"""ctypes bindings for the native SA-IS / Kasai library.
+
+Compiled on demand with g++ (cached next to the source); falls back is
+handled by callers (monitpu.index.build uses NumPy doubling if this
+module fails to import)."""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).parent
+_SRC = _HERE / "sais.cpp"
+_SO = _HERE / "libmonitpu.so"
+_lock = threading.Lock()
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not _SO.exists()) or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 str(_SRC), "-o", str(_SO)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_SO))
+        lib.monitpu_sais_u8.restype = ctypes.c_int
+        lib.monitpu_sais_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.monitpu_kasai_u8.restype = ctypes.c_int
+        lib.monitpu_kasai_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+def suffix_array(t: np.ndarray) -> np.ndarray:
+    lib = _load()
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    n = t.size
+    sa = np.empty(n, dtype=np.int32)
+    rc = lib.monitpu_sais_u8(t.ctypes.data, n, sa.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f"sais failed rc={rc}")
+    return sa
+
+
+def lcp_array(t: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    lib = _load()
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int32)
+    n = t.size
+    lcp = np.empty(n, dtype=np.int32)
+    rc = lib.monitpu_kasai_u8(t.ctypes.data, sa.ctypes.data, n, lcp.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f"kasai failed rc={rc}")
+    return lcp
