@@ -1,0 +1,211 @@
+"""Banded affine-gap Smith-Waterman on TPU: the ksw2 replacement.
+
+Reference usage (include/aligner/aligner_ksw2.hpp:2752-3196): chain
+scoring pieces together ksw_extz2_sse extension alignments of the left
+and right read contexts plus per-gap global alignments, with a global
+"realign" fallback when chain anchors overlap. Our TPU-native design
+collapses all of these into ONE uniform primitive per chain, the
+*fitting alignment*: the full read is aligned inside the chain's
+reference window with free target start/end (leading/trailing read
+overhang pays standard gap penalties, exactly like ksw2's anchored
+extension). This is the same objective the reference's realign path
+optimizes (aligner_ksw2.hpp:2986-2996, whose score provably dominates
+the piecewise score, see their assert at :3038); scores therefore match
+or exceed the reference's piecewise chain scores. Documented divergence:
+co-optimal CIGARs may differ from ksw2's KSW_EZ_RIGHT tie-breaking.
+
+Kernel shape: lax.scan over query rows; the within-row E dependency
+(gap along the target) is an affine max-plus recurrence solved with
+jax.lax.associative_scan, so each row is O(T log T) vector work and the
+whole DP is Q sequential steps — wavefront parallelism across the
+batch dimension comes free. Scores are int32 on the VPU.
+
+Scoring matrix: match/mismatch over A,C,G,T; N matches anything at 0
+(ksw_gen_simple_mat semantics, aligner_ksw2.hpp:3199-3211); SEP scores
+-2^14 so alignments cannot cross sequence boundaries (replaces
+seqidx::valid post-hoc rejection, seqidx.hpp:164).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(2**28))
+SEP_SCORE = -(2**14)
+
+
+@dataclasses.dataclass(frozen=True)
+class SWParams:
+    smatch: int = 2
+    smismatch: int = 4
+    gapo: int = 4
+    gape: int = 2
+    gapo2: int = 13   # long-gap cost, used for pure-gap closed forms
+    gape2: int = 1
+
+    def matrix(self) -> np.ndarray:
+        m = np.full((6, 6), -self.smismatch, np.int32)
+        np.fill_diagonal(m, self.smatch)
+        m[5, :] = m[:, 5] = 0          # N
+        m[0, :] = m[:, 0] = SEP_SCORE  # SEP
+        return m
+
+    def gap_cost(self, l):
+        """Dual-affine closed form for a pure gap of length l
+        (aligner_ksw2.hpp:2922)."""
+        return np.minimum(self.gapo + l * self.gape,
+                          self.gapo2 + l * self.gape2)
+
+
+def _scan_E(U_shift, gapo, gape):
+    """E[j] for a row: max-plus affine recurrence via associative scan.
+
+    E[j] = max(E[j-1], H[j-1] - gapo) - gape, E[-1] = -inf, where
+    H[j-1] = max(U_shift[j], E[j-1]) and U_shift[j] = U[j-1]
+    (U_shift[0] = left border). Each step is e -> max(e, v_j) - gape with
+    v_j = U_shift[j] - gapo; composition of maps e -> max(e+a, b) is
+    associative."""
+    v = U_shift - (gapo + gape)
+    a = jnp.full_like(v, -gape)
+
+    def combine(l, r):
+        la, lb = l
+        ra, rb = r
+        return la + ra, jnp.maximum(lb + ra, rb)
+
+    A, B = jax.lax.associative_scan(combine, (a, v), axis=-1)
+    del A
+    return B
+
+
+@functools.partial(jax.jit, static_argnames=("params", "traceback"))
+def sw_fit(query, qlen, target, tlen, params: SWParams = SWParams(),
+           traceback: bool = False):
+    """Fitting alignment: full query vs a window of target.
+
+    query int32[B, Q] codes, qlen int32[B]; target int32[B, T], tlen
+    int32[B] (pad target with SEP=0 codes for safety; scoring masks to
+    j < tlen anyway).
+
+    Returns dict: score int32[B] (max over last query row), tend int32[B]
+    (0-based target index of last aligned column; -1 if alignment ends
+    before consuming any target), plus dirs uint8[B, Q, T] when
+    traceback=True. Bits: 0-1 H-source (0 diag, 1 E/del, 2 F/ins,
+    3 start), 2: E came from E (gap extend), 3: F came from F."""
+    B, Q = query.shape
+    T = target.shape[1]
+    mat = jnp.asarray(params.matrix())
+    go, ge = params.gapo, params.gape
+
+    jcols = jnp.arange(T)[None, :]
+    tmask = jcols < tlen[:, None]
+
+    H0 = jnp.where(tmask, 0, NEG)          # free target start on row -1
+    F0 = jnp.full((B, T), NEG)
+
+    def border(i):
+        return -(go + (i + 1) * ge)
+
+    def row(carry, i):
+        Hprev, Fprev, best, bestj = carry
+        qc = query[jnp.arange(B), jnp.clip(i, 0, Q - 1)]
+        s = mat[qc[:, None], target]
+        F = jnp.maximum(Fprev - ge, Hprev - go - ge)
+        # H[i-1, -1]: 0 for i==0 (alignment may start at (0, 0)), else the
+        # leading-query-insertion border
+        hb_prev = jnp.where(i == 0, 0, border(i - 1))
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), 1) * hb_prev, Hprev[:, :-1]], axis=1) + s
+        U = jnp.maximum(diag, F)
+        U_shift = jnp.concatenate(
+            [jnp.full((B, 1), border(i)), U[:, :-1]], axis=1)
+        E = _scan_E(U_shift, go, ge)
+        H = jnp.maximum(U, E)
+
+        Hm = jnp.where(tmask, H, NEG)
+        last = i == qlen - 1
+        rb = jnp.max(Hm, axis=1)
+        rj = jnp.argmax(Hm, axis=1).astype(jnp.int32)
+        best = jnp.where(last, rb, best)
+        bestj = jnp.where(last, rj, bestj)
+
+        if traceback:
+            take_E = E >= U                      # prefer gap: right-align
+            take_F = (F >= diag) & ~take_E
+            src = jnp.where(take_E, 1, jnp.where(take_F, 2, 0)).astype(
+                jnp.uint8)
+            e_ext = (E == jnp.concatenate(
+                [jnp.full((B, 1), NEG), E[:, :-1]], axis=1) - ge)
+            f_ext = (F == Fprev - ge)
+            dirs = (src | (e_ext.astype(jnp.uint8) << 2) |
+                    (f_ext.astype(jnp.uint8) << 3))
+        else:
+            dirs = jnp.zeros((B, T), jnp.uint8)
+        return (H, F, best, bestj), dirs
+
+    init = (H0, F0, jnp.full((B,), NEG), jnp.full((B,), -1, jnp.int32))
+    (H, F, best, bestj), dirs = jax.lax.scan(row, init, jnp.arange(Q))
+    out = {"score": best, "tend": bestj}
+    if traceback:
+        out["dirs"] = jnp.transpose(dirs, (1, 0, 2))  # [B, Q, T]
+    return out
+
+
+def traceback_cigar(dirs, qlen, tend, batch_hint=None):
+    """Host walk of the packed direction bits -> per-lane CIGAR op lists.
+
+    dirs uint8[B, Q, T]; returns list of (ops, tstart) where ops is a
+    list of (op, length) with op in 'MID' (query-consuming M/I,
+    target-consuming M/D), leading target offset tstart (0-based column
+    where the alignment begins)."""
+    dirs = np.asarray(dirs)
+    qlen = np.asarray(qlen)
+    tend = np.asarray(tend)
+    B, Q, T = dirs.shape
+    results = []
+    for b in range(B):
+        i = int(qlen[b]) - 1
+        j = int(tend[b])
+        ops = []
+
+        def push(op):
+            if ops and ops[-1][0] == op:
+                ops[-1][1] += 1
+            else:
+                ops.append([op, 1])
+
+        state = "H"
+        while i >= 0:
+            if j < 0:
+                push("I")
+                i -= 1
+                continue
+            d = dirs[b, i, j]
+            if state == "H":
+                src = d & 3
+                if src == 0:
+                    push("M")
+                    i -= 1
+                    j -= 1
+                elif src == 1:
+                    state = "E"
+                else:
+                    state = "F"
+            elif state == "E":   # deletion: consume target
+                push("D")
+                if not (d & 4):
+                    state = "H"
+                j -= 1
+            else:                # F: insertion: consume query
+                push("I")
+                if not (d & 8):
+                    state = "H"
+                i -= 1
+        ops.reverse()
+        results.append((ops, j + 1))
+    return results
