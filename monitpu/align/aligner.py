@@ -1,0 +1,283 @@
+"""Single-end aligner orchestration.
+
+TPU-native restructuring of the reference's per-read align loop
+(include/aligner/aligner_ksw2.hpp:328-521) into three phases per batch:
+
+1. device pipeline (one jitted graph): MEM finding (fwd + rc lanes),
+   seed population, frequency filter, chaining, and fitting-alignment
+   scoring of the top chains — all batched;
+2. host selection: region dedup + best/second-best/AA bookkeeping
+   (mirrors get_best_scores / check_max_score, aligner_ksw2.hpp
+   :397-483) — tiny per-read work on scalar results;
+3. device finalize: traceback fitting alignment for the winning chain
+   only (the reference's score_only=false second fill_chain pass),
+   then host CIGAR walk, MD/NM and SAM assembly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.alphabet import encode_seq, revcomp_codes
+from ..index.schema import MoniIndex
+from ..ops.ms import find_mems_batch, prepare_tables
+from ..ops.occs import populate_seeds_batch
+from ..ops.chain import ChainConfig, find_chains_batch
+from ..ops.sw import SWParams, sw_fit, traceback_cigar
+from .sam import (SamRecord, SAM_REVERSED, SAM_UNMAPPED, md_nm_from_ops,
+                  cigar_ops_to_string, sam_header)
+from .mapq import compute_mapq_se_bwa
+
+MATE_1, MATE_2, MATE_F, MATE_RC = 0, 1, 0, 2
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    min_len: int = 25
+    ext_len: int = 100
+    check_k: int = 5
+    region_dist: int = 10
+    filter_freq: bool = True
+    freq_thr: float = 0.50
+    sw: SWParams = SWParams()
+    chain: ChainConfig = ChainConfig()
+    max_mems: int = 12          # per orientation lane
+    max_occs: int = 32
+    max_anchors: int = 192
+    read_pad: int = 160         # padded read length bucket
+    window: int = 384           # scoring/final target window
+    margin: int = 48
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
+    B, M = fwd.shape
+    lanes = jnp.concatenate([fwd, rc], axis=0)
+    lens2 = jnp.concatenate([lens, lens], axis=0)
+    mp, ml, mi, mc = find_mems_batch(tables, lanes, lens2,
+                                     max_mems=cfg.max_mems,
+                                     min_len=cfg.min_len)
+    seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
+                                 max_occs=cfg.max_occs, min_len=cfg.min_len)
+    # merge fwd/rc lanes into per-read seed axis
+    seeds = {k: jnp.concatenate([v[:B], v[B:]], axis=1)
+             for k, v in seeds.items()}
+    S = seeds["len"].shape[1]
+    mate = jnp.concatenate(
+        [jnp.full((B, S // 2), MATE_1 | MATE_F, jnp.int32),
+         jnp.full((B, S // 2), MATE_1 | MATE_RC, jnp.int32)], axis=1)
+
+    if cfg.filter_freq:  # seed_freq_filter (aligner_ksw2.hpp:1905-1933)
+        cnt = jnp.where(seeds["valid"], seeds["cnt"], 0)
+        total = jnp.maximum(jnp.sum(cnt, axis=1, keepdims=True), 1)
+        drop = cnt.astype(jnp.float32) > cfg.freq_thr * total.astype(
+            jnp.float32)
+        seeds["valid"] = seeds["valid"] & ~drop
+
+    anchors, chains = find_chains_batch(seeds, mate, cfg.chain,
+                                        cfg.max_anchors)
+
+    # ---- score top chains with fitting alignments ----
+    C = chains["score"].shape[1]
+    first = jnp.clip(chains["anchors"][:, :, 0], 0, cfg.max_anchors - 1)
+    fpos = jnp.take_along_axis(anchors["pos"], first, axis=1)
+    fidx = jnp.take_along_axis(anchors["idx"], first, axis=1)
+    n = tables["n"]
+    win_start = jnp.clip(fpos - fidx - cfg.margin, 0, n - 1)
+
+    text = tables["text"]
+    cols = jnp.arange(cfg.window)[None, None, :]
+    tpos = win_start[:, :, None] + cols
+    target = text[jnp.clip(tpos, 0, n - 1)].astype(jnp.int32)
+    tlen = jnp.clip(n - win_start, 0, cfg.window)
+
+    is_rc = (chains["mate"] & MATE_RC) != 0
+    query = jnp.where(is_rc[:, :, None], rc[:, None, :], fwd[:, None, :])
+
+    out = sw_fit(query.reshape(B * C, M),
+                 jnp.repeat(lens, C),
+                 target.reshape(B * C, cfg.window),
+                 tlen.reshape(-1), cfg.sw)
+    score = jnp.where(chains["valid"].reshape(-1), out["score"],
+                      jnp.int32(-(2**28))).reshape(B, C)
+    tend = out["tend"].reshape(B, C)
+    return {"chains": chains, "score": score, "tend": tend,
+            "win_start": win_start, "is_rc": is_rc}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _device_finalize(tables, query, qlen, win_start, cfg: AlignConfig):
+    B, M = query.shape
+    n = tables["n"]
+    cols = jnp.arange(cfg.window)[None, :]
+    tpos = win_start[:, None] + cols
+    target = tables["text"][jnp.clip(tpos, 0, n - 1)].astype(jnp.int32)
+    tlen = jnp.clip(n - win_start, 0, cfg.window)
+    return sw_fit(query, qlen, target, tlen, cfg.sw, traceback=True)
+
+
+class Aligner:
+    """Loads a MoniIndex onto the device and aligns read batches."""
+
+    def __init__(self, index: MoniIndex, config: AlignConfig = AlignConfig()):
+        self.index = index
+        self.cfg = config
+        self.tables = prepare_tables(index)
+        self.seq_starts = np.asarray(index.seq_starts)
+        self.seq_names = list(index.seq_names)
+        self.stats = {"processed": 0, "aligned": 0}
+
+    # -- seqidx::index equivalent (include/common/seqidx.hpp:149) --
+    def pos_to_ref(self, pos: int):
+        s = int(np.searchsorted(self.seq_starts, pos, side="right") - 1)
+        s = max(0, min(s, len(self.seq_names) - 1))
+        return self.seq_names[s], pos - int(self.seq_starts[s])
+
+    def seq_lengths(self):
+        # each sequence owns [start, next_start), minus its SEP terminator
+        return [int(self.seq_starts[i + 1] - self.seq_starts[i] - 1)
+                for i in range(len(self.seq_names))]
+
+    def header(self) -> str:
+        return sam_header(self.seq_names, self.seq_lengths())
+
+    def align_batch(self, reads):
+        """reads: list of (name, seq_str, qual_str|None) -> SamRecords."""
+        cfg = self.cfg
+        B = len(reads)
+        M = cfg.read_pad
+        fwd = np.zeros((B, M), np.int32)
+        rc = np.zeros((B, M), np.int32)
+        lens = np.zeros(B, np.int32)
+        fcodes, rcodes = [], []
+        for b, (_, seq, _) in enumerate(reads):
+            codes = encode_seq(seq[:M])
+            r = revcomp_codes(codes)
+            fwd[b, :len(codes)] = codes
+            rc[b, :len(codes)] = r
+            lens[b] = len(codes)
+            fcodes.append(codes)
+            rcodes.append(r)
+
+        dev = _device_pipeline(self.tables, jnp.asarray(fwd), jnp.asarray(rc),
+                               jnp.asarray(lens), cfg)
+        score = np.asarray(dev["score"])
+        tend = np.asarray(dev["tend"])
+        win_start = np.asarray(dev["win_start"])
+        is_rc = np.asarray(dev["is_rc"])
+        cvalid = np.asarray(dev["chains"]["valid"])
+
+        # ---- host selection (get_best_scores / check_max_score) ----
+        sel = []
+        for b in range(B):
+            order = np.argsort(-score[b], kind="stable")
+            min_score = int(20 + 8 * math.log(max(int(lens[b]), 2)))
+            regions = []       # (end position, score)
+            best = []          # (score, endpos, chain)
+            max_sc = 0
+            alt = []
+            for c in order:
+                c = int(c)
+                if not cvalid[b, c] or score[b, c] <= -(2**27):
+                    continue
+                sc = int(score[b, c])
+                endpos = int(win_start[b, c]) + int(tend[b, c])
+                lifted = self.lift(endpos)
+                if sc > max_sc:
+                    max_sc = sc
+                    alt = []
+                elif sc == max_sc and sc > 0:
+                    name, off = self.pos_to_ref(
+                        int(win_start[b, c]))
+                    alt.append((name, off + 1, sc))
+                if any(abs(r - lifted) < cfg.region_dist for r, _ in regions):
+                    continue
+                regions.append((lifted, sc))
+                best.append((sc, endpos, c))
+                if len(best) >= cfg.check_k:
+                    break
+            sel.append((best, alt, min_score))
+
+        # ---- finalize winners on device ----
+        win_lane = np.zeros(B, np.int32)
+        win_query = np.zeros((B, M), np.int32)
+        win_ws = np.zeros(B, np.int32)
+        mapped = np.zeros(B, bool)
+        for b, (best, _, min_score) in enumerate(sel):
+            if best and best[0][0] >= min_score:
+                c = best[0][2]
+                mapped[b] = True
+                win_lane[b] = c
+                win_ws[b] = win_start[b, c]
+                win_query[b] = rc[b] if is_rc[b, c] else fwd[b]
+
+        fin = _device_finalize(self.tables, jnp.asarray(win_query),
+                               jnp.asarray(lens), jnp.asarray(win_ws), cfg)
+        walks = traceback_cigar(fin["dirs"], lens, np.asarray(fin["tend"]))
+        fscore = np.asarray(fin["score"])
+
+        # ---- SAM assembly ----
+        text = self.index.text
+        records = []
+        for b, (name, seq, qual) in enumerate(reads):
+            rec = SamRecord(qname=name, seq=seq,
+                            qual=qual if qual else "*")
+            best, alt, min_score = sel[b]
+            self.stats["processed"] += 1
+            if not mapped[b] or fscore[b] < min_score:
+                rec.flag = SAM_UNMAPPED
+                records.append(rec)
+                continue
+            self.stats["aligned"] += 1
+            c = int(win_lane[b])
+            ops, tstart = walks[b]
+            pos_global = int(win_ws[b]) + tstart
+            rname, off = self.pos_to_ref(pos_global)
+            reverse = bool(is_rc[b, c])
+            codes = rcodes[b] if reverse else fcodes[b]
+            rlen = sum(l for op, l in ops if op in "MD")
+            md, nm = md_nm_from_ops(text[pos_global:pos_global + rlen],
+                                    codes, ops)
+            score2 = best[1][0] if len(best) > 1 else 0
+            sub_n = len(best) - 1
+            mapq = compute_mapq_se_bwa(
+                fscore[b], score2, rlen, int(lens[b]), cfg.min_len,
+                cfg.sw.smatch, cfg.sw.smismatch, sub_n=sub_n)
+            rec.flag = SAM_REVERSED if reverse else 0
+            rec.rname = rname
+            rec.pos = off + 1
+            rec.mapq = mapq
+            rec.cigar = cigar_ops_to_string(ops)
+            rec.asc = int(fscore[b])
+            rec.zs = score2
+            rec.md = md
+            rec.nm = nm
+            rec.rlen = rlen
+            if reverse:
+                from ..index.alphabet import decode_seq
+                rec.seq = decode_seq(codes)
+                rec.qual = qual[::-1] if qual else "*"
+            # OA: original pangenome alignment (null lift for FASTA-only)
+            rec.lift_rname, lp = self.pos_to_ref(pos_global)
+            rec.lift_pos = lp + 1
+            rec.lift_cigar = rec.cigar
+            rec.lift_nm = nm
+            rec.lift_md = md
+            rec.lift_rlen = rlen
+            for h, p, sc in alt:
+                rec.alt_haplotypes.append(h)
+                rec.alt_pos.append(p)
+                rec.alt_scores.append(sc)
+            records.append(rec)
+        return records
+
+    # liftover hook: identity for FASTA-only indexes (null lifts,
+    # reference src/build_liftidx.cpp:99-148); pangenome phase overrides.
+    def lift(self, pos: int) -> int:
+        return pos
