@@ -29,7 +29,7 @@ from ..index.schema import MoniIndex
 from ..ops.ms import find_mems_batch, prepare_tables
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import ChainConfig, find_chains_batch
-from ..ops.sw import SWParams, sw_fit, traceback_cigar
+from ..ops.sw import SWParams, sw_fit
 from .sam import (SamRecord, SAM_REVERSED, SAM_UNMAPPED, md_nm_from_ops,
                   cigar_ops_to_string, sam_header)
 from .mapq import compute_mapq_se_bwa
@@ -55,17 +55,10 @@ class AlignConfig:
     margin: int = 48
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
-    B, M = fwd.shape
-    lanes = jnp.concatenate([fwd, rc], axis=0)
-    lens2 = jnp.concatenate([lens, lens], axis=0)
-    mp, ml, mi, mc = find_mems_batch(tables, lanes, lens2,
-                                     max_mems=cfg.max_mems,
-                                     min_len=cfg.min_len)
-    seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
-                                 max_occs=cfg.max_occs, min_len=cfg.min_len)
-    # merge fwd/rc lanes into per-read seed axis
+@functools.partial(jax.jit, static_argnames=("cfg", "B"))
+def _merge_filter_chain(tables, seeds, B, cfg: AlignConfig):
+    """Merge fwd/rc seed lanes per read, apply seed_freq_filter
+    (aligner_ksw2.hpp:1905-1933), chain."""
     seeds = {k: jnp.concatenate([v[:B], v[B:]], axis=1)
              for k, v in seeds.items()}
     S = seeds["len"].shape[1]
@@ -73,17 +66,20 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
         [jnp.full((B, S // 2), MATE_1 | MATE_F, jnp.int32),
          jnp.full((B, S // 2), MATE_1 | MATE_RC, jnp.int32)], axis=1)
 
-    if cfg.filter_freq:  # seed_freq_filter (aligner_ksw2.hpp:1905-1933)
+    if cfg.filter_freq:
         cnt = jnp.where(seeds["valid"], seeds["cnt"], 0)
         total = jnp.maximum(jnp.sum(cnt, axis=1, keepdims=True), 1)
         drop = cnt.astype(jnp.float32) > cfg.freq_thr * total.astype(
             jnp.float32)
         seeds["valid"] = seeds["valid"] & ~drop
 
-    anchors, chains = find_chains_batch(seeds, mate, cfg.chain,
-                                        cfg.max_anchors)
+    return find_chains_batch(seeds, mate, cfg.chain, cfg.max_anchors)
 
-    # ---- score top chains with fitting alignments ----
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _score_chains(tables, anchors, chains, fwd, rc, lens, cfg: AlignConfig):
+    """Fitting-alignment scores for the top chains of every read."""
+    B, M = fwd.shape
     C = chains["score"].shape[1]
     first = jnp.clip(chains["anchors"][:, :, 0], 0, cfg.max_anchors - 1)
     fpos = jnp.take_along_axis(anchors["pos"], first, axis=1)
@@ -111,15 +107,43 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
             "win_start": win_start, "is_rc": is_rc}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _device_finalize(tables, query, qlen, win_start, cfg: AlignConfig):
-    B, M = query.shape
-    n = tables["n"]
-    cols = jnp.arange(cfg.window)[None, :]
-    tpos = win_start[:, None] + cols
-    target = tables["text"][jnp.clip(tpos, 0, n - 1)].astype(jnp.int32)
-    tlen = jnp.clip(n - win_start, 0, cfg.window)
-    return sw_fit(query, qlen, target, tlen, cfg.sw, traceback=True)
+def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
+    """Full device pipeline. Deliberately NOT one mega-jit: each stage is
+    its own jitted program (XLA compile time of the fused program is
+    prohibitive); intermediates stay on device between stages."""
+    B, M = fwd.shape
+    lanes = jnp.concatenate([fwd, rc], axis=0)
+    lens2 = jnp.concatenate([lens, lens], axis=0)
+    mp, ml, mi, mc = find_mems_batch(tables, lanes, lens2,
+                                     max_mems=cfg.max_mems,
+                                     min_len=cfg.min_len)
+    seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
+                                 max_occs=cfg.max_occs, min_len=cfg.min_len)
+    anchors, chains = _merge_filter_chain(tables, seeds, B, cfg)
+    return _score_chains(tables, anchors, chains, fwd, rc, lens, cfg)
+
+
+def _host_finalize(index, query_codes, qlens, win_start, active,
+                   cfg: AlignConfig):
+    """Winner finalize on host via the native C++ fitting aligner: DP +
+    traceback + CIGAR + MD/NM in one pass, no device round-trip."""
+    from ..native import swalign
+    B = query_codes.shape[0]
+    n = index.n
+    text = index.text
+    targets = np.zeros((B, cfg.window), np.int8)
+    tlens = np.zeros(B, np.int32)
+    for b in range(B):
+        if not active[b]:
+            continue
+        ws = int(win_start[b])
+        w = min(cfg.window, n - ws)
+        targets[b, :w] = text[ws:ws + w]
+        tlens[b] = w
+    return swalign.fit_align_batch(
+        query_codes, qlens, targets, tlens, active,
+        smatch=cfg.sw.smatch, smismatch=cfg.sw.smismatch,
+        gapo=cfg.sw.gapo, gape=cfg.sw.gape), targets
 
 
 class Aligner:
@@ -204,9 +228,9 @@ class Aligner:
                     break
             sel.append((best, alt, min_score))
 
-        # ---- finalize winners on device ----
+        # ---- finalize winners on host (native C++) ----
         win_lane = np.zeros(B, np.int32)
-        win_query = np.zeros((B, M), np.int32)
+        win_query = np.zeros((B, M), np.int8)
         win_ws = np.zeros(B, np.int32)
         mapped = np.zeros(B, bool)
         for b, (best, _, min_score) in enumerate(sel):
@@ -217,13 +241,11 @@ class Aligner:
                 win_ws[b] = win_start[b, c]
                 win_query[b] = rc[b] if is_rc[b, c] else fwd[b]
 
-        fin = _device_finalize(self.tables, jnp.asarray(win_query),
-                               jnp.asarray(lens), jnp.asarray(win_ws), cfg)
-        walks = traceback_cigar(fin["dirs"], lens, np.asarray(fin["tend"]))
-        fscore = np.asarray(fin["score"])
+        fin, _ = _host_finalize(self.index, win_query, lens, win_ws,
+                                mapped, cfg)
+        fscore = fin["score"]
 
         # ---- SAM assembly ----
-        text = self.index.text
         records = []
         for b, (name, seq, qual) in enumerate(reads):
             rec = SamRecord(qname=name, seq=seq,
@@ -236,14 +258,13 @@ class Aligner:
                 continue
             self.stats["aligned"] += 1
             c = int(win_lane[b])
-            ops, tstart = walks[b]
-            pos_global = int(win_ws[b]) + tstart
+            ops = fin["ops"][b]
+            pos_global = int(win_ws[b]) + int(fin["tstart"][b])
             rname, off = self.pos_to_ref(pos_global)
             reverse = bool(is_rc[b, c])
             codes = rcodes[b] if reverse else fcodes[b]
-            rlen = sum(l for op, l in ops if op in "MD")
-            md, nm = md_nm_from_ops(text[pos_global:pos_global + rlen],
-                                    codes, ops)
+            rlen = int(fin["rlen"][b])
+            md, nm = fin["md"][b], int(fin["nm"][b])
             score2 = best[1][0] if len(best) > 1 else 0
             sub_n = len(best) - 1
             mapq = compute_mapq_se_bwa(

@@ -1,0 +1,216 @@
+"""The `monitpu` command-line driver.
+
+Mirrors the reference pipeline driver's subcommands (pipeline/moni.in:
+658-800): build | align | ms | mems, with the same flag names where they
+exist (-i index, -1/-2 mates, -p pattern/single reads, -o output,
+-l min MEM length, -b batch size, -S/-F seed filters, chaining -w/-v...).
+Index construction is direct (no PFP subprocess chain): FASTA (or
+FASTA+VCF for pangenomes) -> suffix array -> MoniIndex arrays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def log(*a):
+    print("[monitpu]", *a, file=sys.stderr, flush=True)
+
+
+def cmd_build(args):
+    import numpy as np
+    from .index import build_index
+    from .io import read_fasta
+
+    t0 = time.time()
+    if args.vcf:
+        from .index.pangenome import build_pangenome_index
+        idx = build_pangenome_index(args.reference, args.vcf,
+                                    samples=args.samples,
+                                    haplotypes=args.haplotype)
+    else:
+        seqs = read_fasta(args.reference)
+        log(f"read {len(seqs)} sequences")
+        idx = build_index([s for _, s in seqs], names=[n for n, _ in seqs])
+    log(f"index: n={idx.n} r={idx.r} n/r={idx.n/idx.r:.2f} "
+        f"tables={idx.nbytes()/1e6:.1f}MB ({time.time()-t0:.1f}s)")
+    idx.save(args.output)
+    log(f"saved {args.output}.monitpu.npz")
+
+
+def _load_aligner(args):
+    from .index import MoniIndex
+    from .align.aligner import Aligner, AlignConfig
+    from .ops.chain import ChainConfig
+
+    cfg = AlignConfig(
+        min_len=args.min_len,
+        ext_len=args.ext_len,
+        freq_thr=args.freq_thr,
+        filter_freq=args.freq_thr < 1.0,
+        chain=ChainConfig(max_dist_x=args.max_dist_x,
+                          max_dist_y=args.max_dist_y,
+                          max_iter=args.max_iter,
+                          min_chain_score=args.min_chain_score),
+    )
+    t0 = time.time()
+    idx = MoniIndex.load(args.index)
+    aligner = Aligner(idx, cfg)
+    log(f"index loaded: n={idx.n} r={idx.r} ({time.time()-t0:.1f}s)")
+    return aligner
+
+
+def cmd_align(args):
+    from .align.sam import write_sam_record
+    from .io import read_fastq_batches, read_paired_batches
+
+    aligner = _load_aligner(args)
+    out = open(args.output, "w") if args.output else sys.stdout
+    out.write(aligner.header())
+    t0 = time.time()
+    n = 0
+    if args.mate2:
+        from .align.paired import PairedAligner
+        paligner = PairedAligner(aligner)
+        for b1, b2 in read_paired_batches(args.mate1, args.mate2,
+                                          args.batch_size):
+            for rec in paligner.align_pair_batch(b1, b2):
+                write_sam_record(out, rec)
+            n += len(b1)
+            log(f"{n} pairs, {n/(time.time()-t0):.0f} pairs/s")
+    else:
+        reads_file = args.mate1 or args.pattern
+        for batch in read_fastq_batches(reads_file, args.batch_size):
+            for rec in aligner.align_batch(batch):
+                write_sam_record(out, rec)
+            n += len(batch)
+            log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
+    if args.output:
+        out.close()
+    log(f"done: {aligner.stats}")
+
+
+def cmd_ms(args):
+    """Matching statistics -> <out>.pointers / <out>.lengths text format
+    (reference src/matching_statistics.cpp:531-601)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .index import MoniIndex
+    from .index.alphabet import encode_seq
+    from .ops.ms import prepare_tables, ms_pointers_batch, ms_lengths_batch
+    from .io import read_fastq_batches
+
+    idx = MoniIndex.load(args.index)
+    tables = prepare_tables(idx)
+    base = args.output or (args.pattern + ".monitpu")
+    fp = open(base + ".pointers", "w")
+    fl = open(base + ".lengths", "w")
+    for batch in read_fastq_batches(args.pattern, args.batch_size):
+        M = max(len(s) for _, s, _ in batch)
+        M = max(M, 8)
+        B = len(batch)
+        reads = np.zeros((B, M), np.int32)
+        lens = np.zeros(B, np.int32)
+        for b, (_, s, _) in enumerate(batch):
+            codes = encode_seq(s)
+            reads[b, :len(codes)] = codes
+            lens[b] = len(codes)
+        ptr = ms_pointers_batch(tables, jnp.asarray(reads), jnp.asarray(lens))
+        ln = ms_lengths_batch(tables, jnp.asarray(reads), jnp.asarray(lens),
+                              ptr)
+        ptr, ln = np.asarray(ptr), np.asarray(ln)
+        for b, (name, _, _) in enumerate(batch):
+            fp.write(f">{name}\n" + " ".join(map(str, ptr[b, :lens[b]])) + "\n")
+            fl.write(f">{name}\n" + " ".join(map(str, ln[b, :lens[b]])) + "\n")
+    fp.close()
+    fl.close()
+    log(f"wrote {base}.pointers / {base}.lengths")
+
+
+def cmd_mems(args):
+    """MEM extraction -> <out>.mems text (reference src/mems.cpp:241-280)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .index import MoniIndex
+    from .index.alphabet import encode_seq
+    from .ops.ms import prepare_tables, find_mems_batch
+    from .io import read_fastq_batches
+
+    idx = MoniIndex.load(args.index)
+    tables = prepare_tables(idx)
+    base = args.output or (args.pattern + ".monitpu")
+    out = open(base + ".mems", "w")
+    for batch in read_fastq_batches(args.pattern, args.batch_size):
+        M = max(max(len(s) for _, s, _ in batch), 8)
+        B = len(batch)
+        reads = np.zeros((B, M), np.int32)
+        lens = np.zeros(B, np.int32)
+        for b, (_, s, _) in enumerate(batch):
+            codes = encode_seq(s)
+            reads[b, :len(codes)] = codes
+            lens[b] = len(codes)
+        mp, ml, mi, mc = find_mems_batch(tables, jnp.asarray(reads),
+                                         jnp.asarray(lens),
+                                         max_mems=args.max_mems,
+                                         min_len=args.min_len)
+        mp, ml, mi, mc = map(np.asarray, (mp, ml, mi, mc))
+        for b, (name, _, _) in enumerate(batch):
+            pairs = " ".join(f"({mi[b,k]},{ml[b,k]})" for k in range(mc[b]))
+            out.write(f">{name}\n{pairs}\n")
+    out.close()
+    log(f"wrote {base}.mems")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="monitpu",
+                                description="TPU-native pangenome aligner")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the index")
+    b.add_argument("-r", "--reference", required=True)
+    b.add_argument("-v", "--vcf", default=None)
+    b.add_argument("-S", "--samples", default=None,
+                   help="file with sample names, one per line")
+    b.add_argument("-H", "--haplotype", default="12",
+                   help="1, 2, or 12 (haplotypes to include)")
+    b.add_argument("-o", "--output", required=True)
+    b.set_defaults(fn=cmd_build)
+
+    def common_query(a):
+        a.add_argument("-i", "--index", required=True)
+        a.add_argument("-o", "--output", default=None)
+        a.add_argument("-b", "--batch-size", type=int, default=512)
+        a.add_argument("-l", "--min-len", type=int, default=25)
+
+    al = sub.add_parser("align", help="align reads")
+    common_query(al)
+    al.add_argument("-1", "--mate1", default=None)
+    al.add_argument("-2", "--mate2", default=None)
+    al.add_argument("-p", "--pattern", default=None, help="single-end reads")
+    al.add_argument("-L", "--ext-len", type=int, default=100)
+    al.add_argument("-F", "--freq-thr", type=float, default=0.5)
+    al.add_argument("-w", "--max-iter", type=int, default=10)
+    al.add_argument("-x", "--max-dist-x", type=int, default=500)
+    al.add_argument("-y", "--max-dist-y", type=int, default=100)
+    al.add_argument("-Z", "--min-chain-score", type=int, default=40)
+    al.set_defaults(fn=cmd_align)
+
+    ms = sub.add_parser("ms", help="matching statistics")
+    common_query(ms)
+    ms.add_argument("-p", "--pattern", required=True)
+    ms.set_defaults(fn=cmd_ms)
+
+    me = sub.add_parser("mems", help="maximal exact matches")
+    common_query(me)
+    me.add_argument("-p", "--pattern", required=True)
+    me.add_argument("--max-mems", type=int, default=16)
+    me.set_defaults(fn=cmd_mems)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ import threading
 import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
-_SRC = _HERE / "sais.cpp"
+_SRCS = [_HERE / "sais.cpp", _HERE / "swalign.cpp"]
 _SO = _HERE / "libmonitpu.so"
 _lock = threading.Lock()
 _lib = None
@@ -27,10 +27,11 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if (not _SO.exists()) or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if (not _SO.exists()) or _SO.stat().st_mtime < max(
+                s.stat().st_mtime for s in _SRCS):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(_SO)],
+                 *map(str, _SRCS), "-o", str(_SO), "-lpthread"],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(_SO))
         lib.monitpu_sais_u8.restype = ctypes.c_int

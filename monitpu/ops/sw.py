@@ -99,8 +99,15 @@ def sw_fit(query, qlen, target, tlen, params: SWParams = SWParams(),
     3 start), 2: E came from E (gap extend), 3: F came from F."""
     B, Q = query.shape
     T = target.shape[1]
-    mat = jnp.asarray(params.matrix())
     go, ge = params.gapo, params.gape
+    sm, sx = params.smatch, params.smismatch
+
+    def char_score(qc, t):
+        # arithmetic scoring instead of a matrix gather: gathers are the
+        # slow path on the VPU, three selects are free
+        s = jnp.where(qc == t, jnp.int32(sm), jnp.int32(-sx))
+        s = jnp.where((qc == 5) | (t == 5), 0, s)        # N matches all at 0
+        return jnp.where((qc == 0) | (t == 0), jnp.int32(SEP_SCORE), s)
 
     jcols = jnp.arange(T)[None, :]
     tmask = jcols < tlen[:, None]
@@ -113,8 +120,8 @@ def sw_fit(query, qlen, target, tlen, params: SWParams = SWParams(),
 
     def row(carry, i):
         Hprev, Fprev, best, bestj = carry
-        qc = query[jnp.arange(B), jnp.clip(i, 0, Q - 1)]
-        s = mat[qc[:, None], target]
+        qc = jax.lax.dynamic_index_in_dim(query, i, 1, keepdims=False)
+        s = char_score(qc[:, None], target)
         F = jnp.maximum(Fprev - ge, Hprev - go - ge)
         # H[i-1, -1]: 0 for i==0 (alignment may start at (0, 0)), else the
         # leading-query-insertion border

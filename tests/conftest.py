@@ -14,6 +14,12 @@ import pytest
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/monitpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# The axon TPU plugin ignores JAX_PLATFORMS; pin test computations to the
+# virtual 8-device CPU backend explicitly (bench.py uses the real chip).
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
 
 
 @pytest.fixture(scope="session")
