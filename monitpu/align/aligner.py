@@ -33,6 +33,7 @@ from ..ops.sw import SWParams, sw_fit
 from .sam import (SamRecord, SAM_REVERSED, SAM_UNMAPPED, md_nm_from_ops,
                   cigar_ops_to_string, sam_header)
 from .mapq import compute_mapq_se_bwa
+from ..utils.timers import phase_timer
 
 MATE_1, MATE_2, MATE_F, MATE_RC = 0, 1, 0, 2
 
@@ -45,6 +46,10 @@ class AlignConfig:
     region_dist: int = 10
     filter_freq: bool = True
     freq_thr: float = 0.50
+    filter_dir: bool = True      # PE orientation filter (config_t:94-95)
+    dir_thr: float = 50.0
+    find_orphan: bool = True
+    orphan_window: int = 1024    # orphan search window cap
     sw: SWParams = SWParams()
     chain: ChainConfig = ChainConfig()
     max_mems: int = 12          # per orientation lane
@@ -124,20 +129,21 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
 
 
 def _host_finalize(index, query_codes, qlens, win_start, active,
-                   cfg: AlignConfig):
+                   cfg: AlignConfig, window=None):
     """Winner finalize on host via the native C++ fitting aligner: DP +
     traceback + CIGAR + MD/NM in one pass, no device round-trip."""
     from ..native import swalign
     B = query_codes.shape[0]
     n = index.n
     text = index.text
-    targets = np.zeros((B, cfg.window), np.int8)
+    W = window or cfg.window
+    targets = np.zeros((B, W), np.int8)
     tlens = np.zeros(B, np.int32)
     for b in range(B):
         if not active[b]:
             continue
         ws = int(win_start[b])
-        w = min(cfg.window, n - ws)
+        w = min(W, n - ws)
         targets[b, :w] = text[ws:ws + w]
         tlens[b] = w
     return swalign.fit_align_batch(
@@ -189,44 +195,18 @@ class Aligner:
             fcodes.append(codes)
             rcodes.append(r)
 
-        dev = _device_pipeline(self.tables, jnp.asarray(fwd), jnp.asarray(rc),
-                               jnp.asarray(lens), cfg)
-        score = np.asarray(dev["score"])
+        with phase_timer("device pipeline"):
+            dev = _device_pipeline(self.tables, jnp.asarray(fwd),
+                                   jnp.asarray(rc), jnp.asarray(lens), cfg)
+            score = np.asarray(dev["score"])
         tend = np.asarray(dev["tend"])
         win_start = np.asarray(dev["win_start"])
         is_rc = np.asarray(dev["is_rc"])
         cvalid = np.asarray(dev["chains"]["valid"])
 
         # ---- host selection (get_best_scores / check_max_score) ----
-        sel = []
-        for b in range(B):
-            order = np.argsort(-score[b], kind="stable")
-            min_score = int(20 + 8 * math.log(max(int(lens[b]), 2)))
-            regions = []       # (end position, score)
-            best = []          # (score, endpos, chain)
-            max_sc = 0
-            alt = []
-            for c in order:
-                c = int(c)
-                if not cvalid[b, c] or score[b, c] <= -(2**27):
-                    continue
-                sc = int(score[b, c])
-                endpos = int(win_start[b, c]) + int(tend[b, c])
-                lifted = self.lift(endpos)
-                if sc > max_sc:
-                    max_sc = sc
-                    alt = []
-                elif sc == max_sc and sc > 0:
-                    name, off = self.pos_to_ref(
-                        int(win_start[b, c]))
-                    alt.append((name, off + 1, sc))
-                if any(abs(r - lifted) < cfg.region_dist for r, _ in regions):
-                    continue
-                regions.append((lifted, sc))
-                best.append((sc, endpos, c))
-                if len(best) >= cfg.check_k:
-                    break
-            sel.append((best, alt, min_score))
+        with phase_timer("selection"):
+            sel = self._select(B, score, tend, win_start, cvalid, lens, cfg)
 
         # ---- finalize winners on host (native C++) ----
         win_lane = np.zeros(B, np.int32)
@@ -241,8 +221,9 @@ class Aligner:
                 win_ws[b] = win_start[b, c]
                 win_query[b] = rc[b] if is_rc[b, c] else fwd[b]
 
-        fin, _ = _host_finalize(self.index, win_query, lens, win_ws,
-                                mapped, cfg)
+        with phase_timer("native finalize"):
+            fin, _ = _host_finalize(self.index, win_query, lens, win_ws,
+                                    mapped, cfg)
         fscore = fin["score"]
 
         # ---- SAM assembly ----
@@ -297,6 +278,39 @@ class Aligner:
                 rec.alt_scores.append(sc)
             records.append(rec)
         return records
+
+    def _select(self, B, score, tend, win_start, cvalid, lens, cfg):
+        """Per-read best-chain selection: region dedup + best/second best
+        + AA ties (get_best_scores / check_max_score semantics)."""
+        sel = []
+        for b in range(B):
+            order = np.argsort(-score[b], kind="stable")
+            min_score = int(20 + 8 * math.log(max(int(lens[b]), 2)))
+            regions = []       # (lifted end position, score)
+            best = []          # (score, endpos, chain)
+            max_sc = 0
+            alt = []
+            for c in order:
+                c = int(c)
+                if not cvalid[b, c] or score[b, c] <= -(2**27):
+                    continue
+                sc = int(score[b, c])
+                endpos = int(win_start[b, c]) + int(tend[b, c])
+                lifted = self.lift(endpos)
+                if sc > max_sc:
+                    max_sc = sc
+                    alt = []
+                elif sc == max_sc and sc > 0:
+                    name, off = self.pos_to_ref(int(win_start[b, c]))
+                    alt.append((name, off + 1, sc))
+                if any(abs(r - lifted) < cfg.region_dist for r, _ in regions):
+                    continue
+                regions.append((lifted, sc))
+                best.append((sc, endpos, c))
+                if len(best) >= cfg.check_k:
+                    break
+            sel.append((best, alt, min_score))
+        return sel
 
     # liftover hook: identity for FASTA-only indexes (null lifts,
     # reference src/build_liftidx.cpp:99-148); pangenome phase overrides.
