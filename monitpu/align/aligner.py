@@ -155,12 +155,14 @@ def _host_finalize(index, query_codes, qlens, win_start, active,
 class Aligner:
     """Loads a MoniIndex onto the device and aligns read batches."""
 
-    def __init__(self, index: MoniIndex, config: AlignConfig = AlignConfig()):
+    def __init__(self, index: MoniIndex, config: AlignConfig = AlignConfig(),
+                 liftidx=None):
         self.index = index
         self.cfg = config
         self.tables = prepare_tables(index)
         self.seq_starts = np.asarray(index.seq_starts)
         self.seq_names = list(index.seq_names)
+        self.liftidx = liftidx
         self.stats = {"processed": 0, "aligned": 0}
 
     # -- seqidx::index equivalent (include/common/seqidx.hpp:149) --
@@ -241,37 +243,23 @@ class Aligner:
             c = int(win_lane[b])
             ops = fin["ops"][b]
             pos_global = int(win_ws[b]) + int(fin["tstart"][b])
-            rname, off = self.pos_to_ref(pos_global)
             reverse = bool(is_rc[b, c])
             codes = rcodes[b] if reverse else fcodes[b]
-            rlen = int(fin["rlen"][b])
-            md, nm = fin["md"][b], int(fin["nm"][b])
             score2 = best[1][0] if len(best) > 1 else 0
             sub_n = len(best) - 1
-            mapq = compute_mapq_se_bwa(
-                fscore[b], score2, rlen, int(lens[b]), cfg.min_len,
-                cfg.sw.smatch, cfg.sw.smismatch, sub_n=sub_n)
             rec.flag = SAM_REVERSED if reverse else 0
-            rec.rname = rname
-            rec.pos = off + 1
-            rec.mapq = mapq
-            rec.cigar = cigar_ops_to_string(ops)
+            self.set_alignment_fields(rec, pos_global, ops, fin["md"][b],
+                                      int(fin["nm"][b]),
+                                      int(fin["rlen"][b]), codes)
+            rec.mapq = compute_mapq_se_bwa(
+                fscore[b], score2, rec.rlen or rec.lift_rlen, int(lens[b]),
+                cfg.min_len, cfg.sw.smatch, cfg.sw.smismatch, sub_n=sub_n)
             rec.asc = int(fscore[b])
             rec.zs = score2
-            rec.md = md
-            rec.nm = nm
-            rec.rlen = rlen
             if reverse:
                 from ..index.alphabet import decode_seq
                 rec.seq = decode_seq(codes)
                 rec.qual = qual[::-1] if qual else "*"
-            # OA: original pangenome alignment (null lift for FASTA-only)
-            rec.lift_rname, lp = self.pos_to_ref(pos_global)
-            rec.lift_pos = lp + 1
-            rec.lift_cigar = rec.cigar
-            rec.lift_nm = nm
-            rec.lift_md = md
-            rec.lift_rlen = rlen
             for h, p, sc in alt:
                 rec.alt_haplotypes.append(h)
                 rec.alt_pos.append(p)
@@ -312,7 +300,44 @@ class Aligner:
             sel.append((best, alt, min_score))
         return sel
 
-    # liftover hook: identity for FASTA-only indexes (null lifts,
-    # reference src/build_liftidx.cpp:99-148); pangenome phase overrides.
+    # liftover: identity for FASTA-only indexes (null lifts, reference
+    # src/build_liftidx.cpp:99-148), segment tables for pangenomes.
     def lift(self, pos: int) -> int:
-        return pos
+        return pos if self.liftidx is None else self.liftidx.lift(pos)
+
+    def set_alignment_fields(self, rec, pos_global, ops, md, nm, rlen,
+                             codes):
+        """Fill primary (lifted) + OA (original) alignment fields.
+
+        Mirrors fill_chain's finalize arm: the haplotype-coordinate
+        alignment goes into the lift_* fields (OA tag), the primary
+        fields carry the lifted reference coordinates with the CIGAR
+        rewritten across indels and MD/NM recomputed against the lifted
+        reference slice (aligner_ksw2.hpp:3113-3174)."""
+        rec.lift_rname, lp = self.pos_to_ref(pos_global)
+        rec.lift_pos = lp + 1
+        rec.lift_cigar = cigar_ops_to_string(ops)
+        rec.lift_nm = nm
+        rec.lift_md = md
+        rec.lift_rlen = rlen
+        if self.liftidx is None:
+            rec.rname, rec.pos = rec.lift_rname, rec.lift_pos
+            rec.cigar = rec.lift_cigar
+            rec.md, rec.nm, rec.rlen = md, nm, rlen
+            return True
+        lpos, lops = self.liftidx.lift_cigar(pos_global, ops)
+        lrlen = sum(l for op, l in lops if op in "MD")
+        if not lops or lrlen <= 0:
+            # aligned entirely inside an insertion (unmapped after lift,
+            # aligner_ksw2.hpp:3166-3172)
+            rec.rname, rec.pos, rec.cigar, rec.rlen = "*", 0, "*", 0
+            rec.unmapped_lft = True
+            return False
+        rname, off = self.pos_to_ref(lpos)
+        rec.rname = rname
+        rec.pos = off + 1
+        rec.cigar = cigar_ops_to_string(lops)
+        lref = self.index.text[lpos:lpos + lrlen]
+        rec.md, rec.nm = md_nm_from_ops(lref, codes, lops)
+        rec.rlen = lrlen
+        return True

@@ -392,8 +392,10 @@ class PairedAligner:
             dir1 = bool(windir[b])
             rev1, rev2 = (not dir1), dir1
 
-            self._fill_mate(r1, res[b], rev1, m1rcodes[b], qual1)
-            self._fill_mate(r2, res[B + b], rev2, m2rcodes[b], qual2)
+            self._fill_mate(r1, res[b], rev1, m1codes[b], m1rcodes[b],
+                            qual1)
+            self._fill_mate(r2, res[B + b], rev2, m2codes[b], m2rcodes[b],
+                            qual2)
             self._pair_flags_and_tlen(
                 r1, r2, res[b]["ok"], res[B + b]["ok"], dir1,
                 int(len1[b]), int(len2[b]), best, min1, min2)
@@ -403,25 +405,19 @@ class PairedAligner:
             records.append(r2)
         return records
 
-    def _fill_mate(self, rec, r, reverse, rcodes, qual):
+    def _fill_mate(self, rec, r, reverse, fcodes, rcodes, qual):
         if not r["ok"]:
             return
-        rname, off = self.al.pos_to_ref(r["pos"])
-        rec.rname = rname
-        rec.pos = off + 1
-        rec.cigar = cigar_ops_to_string(r["ops"])
+        codes = rcodes if reverse else fcodes
+        ok = self.al.set_alignment_fields(
+            rec, r["pos"], r["ops"], r["md"], r["nm"], r["rlen"], codes)
+        if not ok:
+            r["ok"] = False
+            return
         rec.asc = r["score"]
-        rec.md = r["md"]
-        rec.nm = r["nm"]
-        rec.rlen = r["rlen"]
         if reverse:
             rec.seq = decode_seq(rcodes)
             rec.qual = qual[::-1] if qual else "*"
-        rec.lift_rname, lp = self.al.pos_to_ref(r["pos"])
-        rec.lift_pos = lp + 1
-        rec.lift_cigar = rec.cigar
-        rec.lift_nm = rec.nm
-        rec.lift_md = rec.md
 
     def _pair_flags_and_tlen(self, r1, r2, ok1, ok2, dir1, l1, l2,
                              best, min1, min2):

@@ -27,9 +27,11 @@ def cmd_build(args):
     t0 = time.time()
     if args.vcf:
         from .index.pangenome import build_pangenome_index
-        idx = build_pangenome_index(args.reference, args.vcf,
-                                    samples=args.samples,
-                                    haplotypes=args.haplotype)
+        idx, lift = build_pangenome_index(args.reference, args.vcf,
+                                          samples=args.samples,
+                                          haplotypes=args.haplotype,
+                                          log=log)
+        lift.save(args.output)
     else:
         seqs = read_fasta(args.reference)
         log(f"read {len(seqs)} sequences")
@@ -57,7 +59,13 @@ def _load_aligner(args):
     )
     t0 = time.time()
     idx = MoniIndex.load(args.index)
-    aligner = Aligner(idx, cfg)
+    liftidx = None
+    import os
+    if os.path.exists(args.index + ".ldx.npz"):
+        from .index.liftover import LiftIndex
+        liftidx = LiftIndex.load(args.index)
+        log("liftover index loaded")
+    aligner = Aligner(idx, cfg, liftidx=liftidx)
     log(f"index loaded: n={idx.n} r={idx.r} ({time.time()-t0:.1f}s)")
     return aligner
 
