@@ -119,13 +119,19 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
     B, M = fwd.shape
     lanes = jnp.concatenate([fwd, rc], axis=0)
     lens2 = jnp.concatenate([lens, lens], axis=0)
-    mp, ml, mi, mc = find_mems_batch(tables, lanes, lens2,
-                                     max_mems=cfg.max_mems,
+    with phase_timer("  find_mems", sync=lambda: mems):
+        mems = find_mems_batch(tables, lanes, lens2,
+                               max_mems=cfg.max_mems, min_len=cfg.min_len)
+    mp, ml, mi, mc = mems
+    with phase_timer("  seeds", sync=lambda: seeds):
+        seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
+                                     max_occs=cfg.max_occs,
                                      min_len=cfg.min_len)
-    seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
-                                 max_occs=cfg.max_occs, min_len=cfg.min_len)
-    anchors, chains = _merge_filter_chain(tables, seeds, B, cfg)
-    return _score_chains(tables, anchors, chains, fwd, rc, lens, cfg)
+    with phase_timer("  chain", sync=lambda: chains):
+        anchors, chains = _merge_filter_chain(tables, seeds, B, cfg)
+    with phase_timer("  score", sync=lambda: out):
+        out = _score_chains(tables, anchors, chains, fwd, rc, lens, cfg)
+    return out
 
 
 def _host_finalize(index, query_codes, qlens, win_start, active,

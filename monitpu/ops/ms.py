@@ -14,12 +14,10 @@ TPU-native re-design of the reference's per-read scalar loop
 - everything is branchless: match / jump-up / jump-down / absent-char
   lanes are computed together and blended with jnp.where.
 
-MS lengths are recovered with the carry trick of the reference's
-find_mems (include/aligner/seed_finder.hpp:138-147): a second scan over
-read positions carries the running match length; a nested while_loop
-extends all still-matching lanes one text gather per char. Total gathers
-are proportional to sum of length increments (~2 per position) instead
-of readlen per position.
+MS lengths exploit the exact suffix-shift identity of the reference's
+find_mems skip (include/aligner/seed_finder.hpp:141,163): only jump
+positions need a real LCE; they are compacted into a fixed worklist and
+extended in LCE_CHUNK-wide vector gathers (see ms_lengths_batch).
 """
 
 from __future__ import annotations
@@ -117,53 +115,96 @@ def ms_pointers_batch(tables, reads, read_lens):
     return ptr_rev[::-1].T  # [B, M]
 
 
-@jax.jit
-def ms_lengths_batch(tables, reads, read_lens, ptr):
-    """MS lengths from pointers via carried extension (find_mems carry).
+LCE_CHUNK = 16        # chars compared per LCE round
+DEFAULT_MAX_JUMPS = 48  # LCE worklist slots per read (see docstring)
+
+
+@functools.partial(jax.jit, static_argnames=("max_jumps",))
+def ms_lengths_batch(tables, reads, read_lens, ptr,
+                     max_jumps=DEFAULT_MAX_JUMPS):
+    """MS lengths from pointers.
+
+    Key identity (reference find_mems skip, seed_finder.hpp:141/163):
+    when ptr[i] == ptr[i-1] + 1 the match at i is the suffix-shift of
+    the match at i-1, so len[i] = len[i-1] - 1 *exactly*. Only "jump"
+    positions need a real LCE against the text. Those are compacted
+    into a fixed [B, max_jumps] worklist and extended LCE_CHUNK chars
+    per round (one big vector gather per round instead of one tiny
+    gather per extended char), then a cheap scan propagates the shift
+    identity. Reads with more than max_jumps jump positions (a mismatch
+    every ~6bp — junk DNA) get underestimated lengths for the overflow
+    tail, which cannot produce >= min_len MEMs anyway.
 
     returns lens int32[B, M]."""
     B, M = reads.shape
     text = tables["text"]
     n = tables["n"]
-    # reads padded on the right with an out-of-alphabet value so that
-    # extension never runs past the true read; use length masks instead.
-    ptr_T = ptr.T
-    reads_cols = reads.T
 
-    def outer(carry, xs):
-        l, prev_ptr = carry
-        p, i = xs  # p: int32[B] pointer at position i
-        skip = p == prev_ptr + 1
+    prev_ptr = jnp.pad(ptr, ((0, 0), (1, 0)), constant_values=-2)[:, :M]
+    valid = jnp.arange(M)[None, :] < read_lens[:, None]
+    needy = (ptr != prev_ptr + 1) & valid
 
-        def cond(state):
-            l, extending = state
-            return jnp.any(extending)
+    # compact needy positions into [B, max_jumps] slots (overflow dropped)
+    slot = jnp.cumsum(needy.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(needy & (slot < max_jumps), slot, max_jumps)
+    rows = jnp.arange(B)[:, None].repeat(M, 1)
+    cols = jnp.arange(M)[None, :].repeat(B, 0)
+    wpos = jnp.zeros((B, max_jumps + 1), jnp.int32).at[rows, slot].set(
+        cols, mode="drop")[:, :max_jumps]
+    wcount = jnp.sum(needy, axis=1)
+    wactive = jnp.arange(max_jumps)[None, :] < \
+        jnp.minimum(wcount, max_jumps)[:, None]
+    wptr = jnp.take_along_axis(ptr, wpos, axis=1)
 
-        def body(state):
-            l, extending = state
-            rpos = i + l
-            tpos = p + l
-            ok = extending & (rpos < read_lens) & (tpos < n)
-            rchar = reads[jnp.arange(B), jnp.clip(rpos, 0, M - 1)]
-            tchar = text[jnp.clip(tpos, 0, n - 1)].astype(jnp.int32)
-            ok = ok & (rchar == tchar)
-            return jnp.where(ok, l + 1, l), ok
+    # chunked LCE on the worklist
+    lanes = jnp.arange(B)[:, None]
+    d = jnp.arange(LCE_CHUNK)[None, None, :]
 
-        l2, _ = jax.lax.while_loop(cond, body, (l, ~skip & (i < read_lens)))
-        out = l2
-        new_l = jnp.maximum(l2 - 1, 0)
-        return (new_l, p), out
+    def cond(state):
+        _, ext, _ = state
+        return jnp.any(ext)
 
-    idxs = jnp.arange(M, dtype=jnp.int32)
-    init = (jnp.zeros((B,), jnp.int32), jnp.full((B,), -2, jnp.int32))
-    (_, _), lens_T = jax.lax.scan(outer, init, (ptr_T, idxs))
+    def body(state):
+        l, ext, r = state
+        roff = wpos[:, :, None] + l[:, :, None] + d      # read offsets
+        toff = wptr[:, :, None] + l[:, :, None] + d
+        rin = roff < read_lens[:, None, None]
+        tin = toff < n
+        rch = reads[lanes[:, :, None].repeat(max_jumps, 1),
+                    jnp.clip(roff, 0, M - 1)]
+        tch = text[jnp.clip(toff, 0, n - 1)].astype(jnp.int32)
+        eq = rin & tin & (rch == tch)
+        neq = ~eq
+        anybad = jnp.any(neq, axis=2)
+        firstbad = jnp.argmax(neq, axis=2).astype(jnp.int32)
+        add = jnp.where(anybad, firstbad, LCE_CHUNK)
+        l = l + jnp.where(ext, add, 0)
+        return l, ext & ~anybad, r + 1
+
+    l0 = jnp.zeros((B, max_jumps), jnp.int32)
+    wlce, _, _ = jax.lax.while_loop(cond, body, (l0, wactive, 0))
+
+    # scatter LCEs back and propagate the shift identity
+    wlanes = jnp.arange(B)[:, None].repeat(max_jumps, 1)
+    lce_at = jnp.zeros((B, M + 1), jnp.int32).at[
+        wlanes, jnp.where(wactive, wpos, M)].set(
+        wlce, mode="drop")[:, :M]
+
+    def prop(carry, xs):
+        nd, lc = xs
+        out = jnp.where(nd, lc, jnp.maximum(carry - 1, 0))
+        return out, out
+
+    _, lens_T = jax.lax.scan(
+        prop, jnp.zeros((B,), jnp.int32), (needy.T, lce_at.T))
     lens = lens_T.T
-    mask = jnp.arange(M)[None, :] < read_lens[:, None]
-    return jnp.where(mask, lens, 0)
+    return jnp.where(valid, lens, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_mems", "min_len"))
-def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25):
+@functools.partial(jax.jit,
+                   static_argnames=("max_mems", "min_len", "max_jumps"))
+def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
+                    max_jumps=DEFAULT_MAX_JUMPS):
     """MEMs per read: positions where the match is maximal
     (seed_finder.hpp:149-157: l >= pl, not all-N, l >= min_len).
 
@@ -176,7 +217,8 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25):
     (counted in mem_count clip)."""
     B, M = reads.shape
     ptr = ms_pointers_batch(tables, reads, read_lens)
-    lens = ms_lengths_batch(tables, reads, read_lens, ptr)
+    lens = ms_lengths_batch(tables, reads, read_lens, ptr,
+                            max_jumps=max_jumps)
 
     prev_lens = jnp.pad(lens, ((0, 0), (1, 0)))[:, :M]
     is_mem = (lens >= prev_lens) & (lens >= min_len)
