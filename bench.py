@@ -105,12 +105,20 @@ def main():
     t0 = time.time()
     n_done = 0
     aligned = 0
+    pending = None      # double-buffer: device computes k+1 during host k
     for off in range(BATCH, N_READS, BATCH):
         chunk = reads[off:off + BATCH]
         if len(chunk) < BATCH:
             break
-        recs = aligner.align_batch(chunk)
-        n_done += len(chunk)
+        handle = aligner.submit_batch(chunk)
+        if pending is not None:
+            recs = aligner.complete_batch(pending)
+            n_done += len(recs)
+            aligned += sum(not (r.flag & 4) for r in recs)
+        pending = handle
+    if pending is not None:
+        recs = aligner.complete_batch(pending)
+        n_done += len(recs)
         aligned += sum(not (r.flag & 4) for r in recs)
     dt = time.time() - t0
     rps = n_done / dt

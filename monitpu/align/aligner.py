@@ -26,7 +26,7 @@ import numpy as np
 
 from ..index.alphabet import encode_seq, revcomp_codes
 from ..index.schema import MoniIndex
-from ..ops.ms import find_mems_batch, prepare_tables
+from ..ops.ms import extract_windows, find_mems_batch, prepare_tables
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import ChainConfig, find_chains_batch
 from ..ops.sw import SWParams, sw_fit
@@ -53,6 +53,7 @@ class AlignConfig:
     sw: SWParams = SWParams()
     chain: ChainConfig = ChainConfig()
     max_mems: int = 12          # per orientation lane
+    lce_work: int = 0           # LCE worklist lanes per read (0 = auto)
     max_occs: int = 32
     max_anchors: int = 192
     read_pad: int = 160         # padded read length bucket
@@ -92,10 +93,9 @@ def _score_chains(tables, anchors, chains, fwd, rc, lens, cfg: AlignConfig):
     n = tables["n"]
     win_start = jnp.clip(fpos - fidx - cfg.margin, 0, n - 1)
 
-    text = tables["text"]
-    cols = jnp.arange(cfg.window)[None, None, :]
-    tpos = win_start[:, :, None] + cols
-    target = text[jnp.clip(tpos, 0, n - 1)].astype(jnp.int32)
+    # packed-word window extraction (text_w32, see ops.ms.extract_windows)
+    target = extract_windows(tables, win_start.reshape(-1),
+                             cfg.window).reshape(B, C, cfg.window)
     tlen = jnp.clip(n - win_start, 0, cfg.window)
 
     is_rc = (chains["mate"] & MATE_RC) != 0
@@ -121,7 +121,8 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
     lens2 = jnp.concatenate([lens, lens], axis=0)
     with phase_timer("  find_mems", sync=lambda: mems):
         mems = find_mems_batch(tables, lanes, lens2,
-                               max_mems=cfg.max_mems, min_len=cfg.min_len)
+                               max_mems=cfg.max_mems, min_len=cfg.min_len,
+                               work_per_read=cfg.lce_work or 96)
     mp, ml, mi, mc = mems
     with phase_timer("  seeds", sync=lambda: seeds):
         seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
@@ -135,9 +136,12 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
 
 
 def _host_finalize(index, query_codes, qlens, win_start, active,
-                   cfg: AlignConfig, window=None):
+                   cfg: AlignConfig, window=None, tends=None, expected=None):
     """Winner finalize on host via the native C++ fitting aligner: DP +
-    traceback + CIGAR + MD/NM in one pass, no device round-trip."""
+    traceback + CIGAR + MD/NM in one pass, no device round-trip. When
+    the device score pass's (tend, score) are given, the native side
+    runs a banded DP around the known end diagonal (margin-wide band)
+    and falls back to the full DP per lane on disagreement."""
     from ..native import swalign
     B = query_codes.shape[0]
     n = index.n
@@ -155,7 +159,8 @@ def _host_finalize(index, query_codes, qlens, win_start, active,
     return swalign.fit_align_batch(
         query_codes, qlens, targets, tlens, active,
         smatch=cfg.sw.smatch, smismatch=cfg.sw.smismatch,
-        gapo=cfg.sw.gapo, gape=cfg.sw.gape), targets
+        gapo=cfg.sw.gapo, gape=cfg.sw.gape,
+        tends=tends, expected=expected, band_w=cfg.margin), targets
 
 
 class Aligner:
@@ -187,6 +192,16 @@ class Aligner:
 
     def align_batch(self, reads):
         """reads: list of (name, seq_str, qual_str|None) -> SamRecords."""
+        return self.complete_batch(self.submit_batch(reads))
+
+    def submit_batch(self, reads):
+        """Encode + dispatch the device pipeline asynchronously.
+
+        Returns an opaque handle for complete_batch. Submitting batch
+        k+1 before completing batch k overlaps device compute with the
+        host finalize/SAM work — the TPU-native analog of the
+        reference's double-buffered reader threads
+        (align_reads_dispatcher.hpp:118-198)."""
         cfg = self.cfg
         B = len(reads)
         M = cfg.read_pad
@@ -203,9 +218,20 @@ class Aligner:
             fcodes.append(codes)
             rcodes.append(r)
 
-        with phase_timer("device pipeline"):
+        with phase_timer("device dispatch"):
             dev = _device_pipeline(self.tables, jnp.asarray(fwd),
                                    jnp.asarray(rc), jnp.asarray(lens), cfg)
+        return dict(reads=reads, dev=dev, fwd=fwd, rc=rc, lens=lens,
+                    fcodes=fcodes, rcodes=rcodes)
+
+    def complete_batch(self, h):
+        """Transfer device results, select, finalize, assemble SAM."""
+        cfg = self.cfg
+        reads, dev = h["reads"], h["dev"]
+        fwd, rc, lens = h["fwd"], h["rc"], h["lens"]
+        fcodes, rcodes = h["fcodes"], h["rcodes"]
+        B, M = fwd.shape
+        with phase_timer("device wait"):
             score = np.asarray(dev["score"])
         tend = np.asarray(dev["tend"])
         win_start = np.asarray(dev["win_start"])
@@ -220,6 +246,8 @@ class Aligner:
         win_lane = np.zeros(B, np.int32)
         win_query = np.zeros((B, M), np.int8)
         win_ws = np.zeros(B, np.int32)
+        win_tend = np.zeros(B, np.int32)
+        win_score = np.zeros(B, np.int32)
         mapped = np.zeros(B, bool)
         for b, (best, _, min_score) in enumerate(sel):
             if best and best[0][0] >= min_score:
@@ -227,11 +255,14 @@ class Aligner:
                 mapped[b] = True
                 win_lane[b] = c
                 win_ws[b] = win_start[b, c]
+                win_tend[b] = tend[b, c]
+                win_score[b] = score[b, c]
                 win_query[b] = rc[b] if is_rc[b, c] else fwd[b]
 
         with phase_timer("native finalize"):
             fin, _ = _host_finalize(self.index, win_query, lens, win_ws,
-                                    mapped, cfg)
+                                    mapped, cfg, tends=win_tend,
+                                    expected=win_score)
         fscore = fin["score"]
 
         # ---- SAM assembly ----

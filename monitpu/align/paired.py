@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
-from ..ops.ms import find_mems_batch
+from ..ops.ms import extract_windows, find_mems_batch
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import find_chains_batch
 from ..ops.sw import sw_fit
@@ -127,7 +127,6 @@ def _pe_score_chains(tables, anchors, chains, m1f, m1r, m2f, m2r,
 
     n = tables["n"]
     text = tables["text"]
-    cols = jnp.arange(cfg.window)[None, None, :]
 
     def window(a):
         fpos = jnp.take_along_axis(anchors["pos"], a, axis=1)
@@ -146,8 +145,7 @@ def _pe_score_chains(tables, anchors, chains, m1f, m1r, m2f, m2r,
     q = jnp.concatenate([q1.reshape(B * C, M), q2.reshape(B * C, M)], axis=0)
     ql = jnp.concatenate([ql1.reshape(-1), ql2.reshape(-1)], axis=0)
     ws = jnp.concatenate([w1.reshape(-1), w2.reshape(-1)], axis=0)
-    tpos = ws[:, None] + cols[0]
-    target = text[jnp.clip(tpos, 0, n - 1)].astype(jnp.int32)
+    target = extract_windows(tables, ws, cfg.window)
     tlen = jnp.clip(n - ws, 0, cfg.window)
 
     out = sw_fit(q, ql, target, tlen, cfg.sw)
@@ -242,7 +240,7 @@ class PairedAligner:
             lensx = jnp.asarray(np.concatenate([len1, len2, len2, len1]))
             mp, ml, mi, mc = find_mems_batch(
                 self.al.tables, lanes, lensx, max_mems=cfg.max_mems,
-                min_len=cfg.min_len)
+                min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
             seeds = populate_seeds_batch(
                 self.al.tables, mp, ml, mi, mc, max_occs=cfg.max_occs,
                 min_len=cfg.min_len)
@@ -337,6 +335,8 @@ class PairedAligner:
         q = np.zeros((2 * B, M), np.int8)
         ql = np.concatenate([len1, len2]).astype(np.int32)
         ws = np.zeros(2 * B, np.int32)
+        te = np.zeros(2 * B, np.int32)
+        exp = np.zeros(2 * B, np.int32)
         active = np.zeros(2 * B, bool)
         windir = np.zeros(B, bool)
         for b, (best, min1, min2) in enumerate(sel):
@@ -352,13 +352,18 @@ class PairedAligner:
                 active[b] = True
                 q[b] = m1f[b] if dir1 else m1r[b]
                 ws[b] = host["win1"][b, c]
+                te[b] = host["tend1"][b, c]
+                exp[b] = host["s1"][b, c]
             if host["has2"][b, c]:
                 active[B + b] = True
                 q[B + b] = m2r[b] if dir1 else m2f[b]
                 ws[B + b] = host["win2"][b, c]
+                te[B + b] = host["tend2"][b, c]
+                exp[B + b] = host["s2"][b, c]
 
         with phase_timer("pe native finalize"):
-            fin, _ = _host_finalize(al.index, q, ql, ws, active, cfg)
+            fin, _ = _host_finalize(al.index, q, ql, ws, active, cfg,
+                                    tends=te, expected=exp)
 
         # unified per-mate results
         res = [dict(ok=False) for _ in range(2 * B)]

@@ -155,6 +155,144 @@ void fit_align_lane(const int8_t* q, int32_t qlen, const int8_t* t,
   out->rlen = tj - out->tstart;
 }
 
+// Banded variant: the TPU score pass already knows the optimal end
+// column (tend) and score, so the traceback DP only needs a band of
+// width 2*bw+1 around the diagonal ending at (qlen-1, tend) — ~T/(2bw)
+// times less work than the full fitting DP. Returns false (caller
+// falls back to the full DP) when the banded optimum misses the
+// expected score or the traceback walks out of the band.
+bool fit_align_lane_banded(const int8_t* q, int32_t qlen, const int8_t* t,
+                           int32_t tlen, int32_t tend, int32_t expected,
+                           int32_t bw, int32_t sm, int32_t sx, int32_t go,
+                           int32_t ge, std::vector<uint8_t>& dirs_v,
+                           std::vector<int32_t>& H, std::vector<int32_t>& F,
+                           uint32_t* cigar, int64_t cigar_cap,
+                           const char* dec, char* md, int64_t md_cap,
+                           LaneOut* out) {
+  if (tend < 0 || tend >= tlen) return false;
+  const int32_t stride = 2 * bw + 1;
+  dirs_v.resize((int64_t)qlen * stride);
+  uint8_t* dirs = dirs_v.data();
+  auto jlo_of = [&](int32_t i) {
+    int32_t c = tend - (qlen - 1 - i);
+    return std::max(0, c - bw);
+  };
+  H.assign(tlen + 1, 0);   // row -1: free target start
+  F.assign(tlen + 1, NEG);
+  int32_t best = NEG, bestj = -1;
+  int32_t prev_jhi = tlen - 1;  // row -1 is defined everywhere
+
+  for (int32_t i = 0; i < qlen; ++i) {
+    int32_t c = tend - (qlen - 1 - i);
+    int32_t jlo = std::max(0, c - bw), jhi = std::min(tlen - 1, c + bw);
+    if (jlo > jhi) return false;
+    // invalidate prev-row cells newly exposed on the right edge
+    for (int32_t j = prev_jhi + 1; j <= jhi; ++j) H[j + 1] = NEG;
+    int32_t h_diag;   // H[i-1][jlo-1]
+    if (jlo == 0) h_diag = (i == 0) ? 0 : -(go + i * ge);
+    else if (i == 0) h_diag = 0;
+    else h_diag = H[jlo];
+    int32_t h_left = (jlo == 0) ? -(go + (i + 1) * ge) : NEG;
+    int32_t e = NEG;
+    uint8_t* drow = dirs + (int64_t)i * stride;
+    for (int32_t j = jlo; j <= jhi; ++j) {
+      int32_t f = std::max(F[j + 1] - ge, H[j + 1] - go - ge);
+      bool f_ext = (f == F[j + 1] - ge);
+      int32_t diag = h_diag + char_score(q[i], t[j], sm, sx);
+      int32_t U = std::max(diag, f);
+      int32_t e_new = std::max(e - ge, h_left - go - ge);
+      bool e_ext = (e_new == e - ge);
+      int32_t h = std::max(U, e_new);
+      uint8_t d;
+      if (e_new >= U) d = 1;
+      else if (f >= diag) d = 2;
+      else d = 0;
+      d |= (e_ext ? 4 : 0) | (f_ext ? 8 : 0);
+      drow[j - jlo] = d;
+      h_diag = H[j + 1];
+      H[j + 1] = h;
+      F[j + 1] = f;
+      e = e_new;
+      h_left = h;
+      if (i == qlen - 1 && h > best) { best = h; bestj = j; }
+    }
+    if (jlo > 0) H[jlo] = NEG;   // left edge cell leaving the band
+    prev_jhi = jhi;
+  }
+  if (best != expected || bestj != tend) return false;
+
+  out->score = best;
+  int32_t i = qlen - 1, j = bestj;
+  int64_t nops = 0;
+  auto push = [&](char op, uint32_t l) {
+    uint32_t code = op == 'M' ? 0 : op == 'I' ? 1 : 2;
+    if (nops > 0 && (cigar[nops - 1] & 0xf) == code) cigar[nops - 1] += l << 4;
+    else if (nops < cigar_cap) cigar[nops++] = (l << 4) | code;
+  };
+  int state = 0;
+  while (i >= 0) {
+    if (j < 0) { push('I', 1); --i; continue; }
+    int32_t off = j - jlo_of(i);
+    if (off < 0 || off >= stride) return false;   // left the band
+    uint8_t d = dirs[(int64_t)i * stride + off];
+    if (state == 0) {
+      int src = d & 3;
+      if (src == 0) { push('M', 1); --i; --j; }
+      else if (src == 1) state = 1;
+      else state = 2;
+    } else if (state == 1) {
+      push('D', 1);
+      if (!(d & 4)) state = 0;
+      --j;
+    } else {
+      push('I', 1);
+      if (!(d & 8)) state = 0;
+      --i;
+    }
+  }
+  out->tstart = j + 1;
+  std::reverse(cigar, cigar + nops);
+  out->ncigar = (int32_t)nops;
+
+  int64_t mdl = 0;
+  int32_t nm = 0, l_md = 0, qi = 0, tj = out->tstart;
+  auto md_num = [&](int32_t v) {
+    char buf[12];
+    int nn = snprintf(buf, sizeof buf, "%d", v);
+    for (int k = 0; k < nn && mdl < md_cap; ++k) md[mdl++] = buf[k];
+  };
+  for (int64_t cidx = 0; cidx < nops; ++cidx) {
+    uint32_t l = cigar[cidx] >> 4;
+    switch (cigar[cidx] & 0xf) {
+      case 0:
+        for (uint32_t k = 0; k < l; ++k) {
+          if (q[qi] != t[tj]) {
+            md_num(l_md);
+            if (mdl < md_cap) md[mdl++] = dec[(int)t[tj]];
+            l_md = 0;
+            ++nm;
+          } else ++l_md;
+          ++qi; ++tj;
+        }
+        break;
+      case 1: qi += l; nm += l; break;
+      case 2:
+        md_num(l_md);
+        if (mdl < md_cap) md[mdl++] = '^';
+        for (uint32_t k = 0; k < l && mdl < md_cap; ++k)
+          md[mdl++] = dec[(int)t[tj + k]];
+        l_md = 0;
+        tj += l; nm += l;
+        break;
+    }
+  }
+  md_num(l_md);
+  out->mdlen = (int32_t)mdl;
+  out->nm = nm;
+  out->rlen = tj - out->tstart;
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -162,11 +300,14 @@ extern "C" {
 // Batched fitting alignment with traceback. Arrays are dense per-lane:
 // queries[lane*qstride], targets[lane*tstride], cigar[lane*cigar_cap],
 // md[lane*md_cap]. active[lane]==0 lanes are skipped (outputs zeroed).
+// tends/expected: per-lane device-known optimal end column and score
+// enabling the banded fast path (pass tends=nullptr to force full DP).
 int monitpu_fit_align_batch(
     const int8_t* queries, const int32_t* qlens, int64_t qstride,
     const int8_t* targets, const int32_t* tlens, int64_t tstride,
     const uint8_t* active, int64_t n_lanes,
     int32_t smatch, int32_t smismatch, int32_t gapo, int32_t gape,
+    const int32_t* tends, const int32_t* expected, int32_t band_w,
     int32_t* out_score, int32_t* out_tstart, int32_t* out_rlen,
     uint32_t* out_cigar, int32_t* out_ncigar, int64_t cigar_cap,
     char* out_md, int32_t* out_mdlen, int64_t md_cap,
@@ -180,12 +321,23 @@ int monitpu_fit_align_batch(
     for (int64_t lane = lo; lane < hi; ++lane) {
       LaneOut o{};
       if (active[lane] && qlens[lane] > 0 && tlens[lane] > 0) {
-        dirs.resize((int64_t)qlens[lane] * tlens[lane]);
-        fit_align_lane(queries + lane * qstride, qlens[lane],
-                       targets + lane * tstride, tlens[lane],
-                       smatch, smismatch, gapo, gape, dirs.data(), H, E, F,
-                       out_cigar + lane * cigar_cap, cigar_cap, dec,
-                       out_md + lane * md_cap, md_cap, &o);
+        bool done = false;
+        if (tends && band_w > 0)
+          done = fit_align_lane_banded(
+              queries + lane * qstride, qlens[lane],
+              targets + lane * tstride, tlens[lane],
+              tends[lane], expected ? expected[lane] : NEG, band_w,
+              smatch, smismatch, gapo, gape, dirs, H, F,
+              out_cigar + lane * cigar_cap, cigar_cap, dec,
+              out_md + lane * md_cap, md_cap, &o);
+        if (!done) {
+          dirs.resize((int64_t)qlens[lane] * tlens[lane]);
+          fit_align_lane(queries + lane * qstride, qlens[lane],
+                         targets + lane * tstride, tlens[lane],
+                         smatch, smismatch, gapo, gape, dirs.data(), H, E, F,
+                         out_cigar + lane * cigar_cap, cigar_cap, dec,
+                         out_md + lane * md_cap, md_cap, &o);
+        }
       }
       out_score[lane] = o.score;
       out_tstart[lane] = o.tstart;

@@ -34,41 +34,36 @@ SIGMA = 6
 
 
 def _run_of_position(tables, pos):
-    """Largest j with run_starts[j] <= pos. pos: int32[B]."""
-    block_run = tables["block_run"]
-    run_starts = tables["run_starts"]
-    b = pos >> BLOCK_BITS
-    lo = block_run[b]
-    hi = block_run[b + 1]
-    # invariant: run_starts[lo] <= pos < run_starts[hi+1]
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi + 1) >> 1
-        go = run_starts[mid] <= pos
-        return jnp.where(go, mid, lo), jnp.where(go, hi, mid - 1)
-    # block spans at most 64 positions -> at most 65 candidate runs
-    lo, hi = jax.lax.fori_loop(0, 7, body, (lo, hi))
-    return lo
+    """Largest j with run_starts[j] <= pos, as two independent gathers:
+    a block anchor (run id at pos & ~63) plus a per-position uint8 delta
+    (a 64-position block holds at most 64 runs). Replaces the sd_vector
+    rank of the reference (ms_rle_string.hpp:135-167) — and the earlier
+    7-step in-block binary search, whose dependent gathers serialized."""
+    return (tables["block_run"][pos >> BLOCK_BITS] +
+            tables["run_delta_u8"][pos].astype(jnp.int32))
 
 
 def ms_step(tables, pos, sample, c):
     """One backward step for a batch: returns (new_pos, new_sample).
 
-    Mirrors moni.hpp:579-621 case analysis, branchless."""
+    Mirrors moni.hpp:579-621 case analysis, branchless. Table layout is
+    engineered for minimum HBM transactions per step: run start + head
+    ride one 8-byte row gather (``run2``), the four per-(run, char)
+    rank/threshold fields one 16-byte row gather (``rc4``)."""
     F = tables["F32"]            # int32[SIGMA+1]
     count_c = F[c + 1] - F[c]
     j = _run_of_position(tables, pos)
-    head = tables["run_heads"][j].astype(jnp.int32)
-    rs = tables["run_starts"][j]
-    flat = j * SIGMA + c
-    clen = tables["clen_at_run_flat"][flat]
+    run2 = tables["run2"][j]                 # [..., 2]: (run_start, head)
+    rs = run2[..., 0]
+    head = run2[..., 1]
+    rc4 = tables["rc4"][j * SIGMA + c]       # [..., 4]
+    clen = rc4[..., 0]
+    rank_runs = rc4[..., 1]
     match = head == c
     rank_c_pos = clen + jnp.where(match, pos - rs, 0)
 
     # jump path (BWT[pos] != c): threshold decides up vs down
-    rank_runs = tables["run_crank_flat"][flat]
-    thr_c = tables["thr_cnt_run_flat"][flat] + \
-        (tables["thr_pos_run_flat"][flat] <= pos).astype(jnp.int32)
+    thr_c = rc4[..., 2] + (rc4[..., 3] <= pos).astype(jnp.int32)
     up = rank_runs > thr_c
     k = rank_runs - up.astype(jnp.int32)
     # csamples: [2, SIGMA, Rc_max] stacked (start, last); select via `up`
@@ -115,80 +110,137 @@ def ms_pointers_batch(tables, reads, read_lens):
     return ptr_rev[::-1].T  # [B, M]
 
 
-LCE_CHUNK = 16        # chars compared per LCE round
-DEFAULT_MAX_JUMPS = 48  # LCE worklist slots per read (see docstring)
+def extract_windows(tables, starts, W):
+    """Text codes int32[L, W] starting at starts int32[L].
+
+    Replaces per-char byte gathers with W/4+1 packed-word gathers into
+    ``text_w32`` (4 chars per int32, prepare_tables) + an in-register
+    byte unpack — 4x fewer HBM transactions for target-window
+    extraction, the LCE inner loop, and orphan windows. starts may run
+    past n (text is TEXT_PAD-padded with SEP); callers mask by tlen."""
+    text_w = tables["text_w32"]
+    L = starts.shape[0]
+    starts = jnp.maximum(starts, 0)
+    nw = W // 4 + 1
+    w0 = (starts >> 2)[:, None]
+    ph = ((starts & 3) * 8)[:, None].astype(jnp.uint32)
+    idx = jnp.clip(w0 + jnp.arange(nw)[None, :], 0, text_w.shape[0] - 1)
+    words = text_w[idx]
+    lo = words[:, :-1] >> ph
+    hi = jnp.where(ph == 0, jnp.uint32(0), words[:, 1:] << (32 - ph))
+    merged = lo | hi                        # [L, W//4]
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+    ch = ((merged[..., None] >> shifts) & 0xFF).astype(jnp.int32)
+    return ch.reshape(L, (W // 4) * 4)[:, :W]
 
 
-@functools.partial(jax.jit, static_argnames=("max_jumps",))
+def _compact(mask, W):
+    """Dense worklist of the True lanes of mask [L]: returns (src int32[W]
+    source lane per slot, active bool[W]). Overflow beyond W is dropped."""
+    L = mask.shape[0]
+    slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    keep = mask & (slot < W)
+    slot = jnp.where(keep, slot, W)
+    src = jnp.zeros((W + 1,), jnp.int32).at[slot].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop")[:W]
+    active = jnp.arange(W) < jnp.minimum(jnp.sum(keep), W)
+    return src, active
+
+
+LCE_CHUNK = 16        # phase-1 LCE compare width (covers ~99% of jumps)
+LCE_CHUNK2 = 32       # phase-2 survivor round width
+DEFAULT_WORK_PER_READ = 96  # flat LCE worklist lanes per batch row
+
+
+@functools.partial(jax.jit, static_argnames=("work_per_read",))
 def ms_lengths_batch(tables, reads, read_lens, ptr,
-                     max_jumps=DEFAULT_MAX_JUMPS):
+                     work_per_read=DEFAULT_WORK_PER_READ):
     """MS lengths from pointers.
 
     Key identity (reference find_mems skip, seed_finder.hpp:141/163):
     when ptr[i] == ptr[i-1] + 1 the match at i is the suffix-shift of
     the match at i-1, so len[i] = len[i-1] - 1 *exactly*. Only "jump"
     positions need a real LCE against the text. Those are compacted
-    into a fixed [B, max_jumps] worklist and extended LCE_CHUNK chars
-    per round (one big vector gather per round instead of one tiny
-    gather per extended char), then a cheap scan propagates the shift
-    identity. Reads with more than max_jumps jump positions (a mismatch
-    every ~6bp — junk DNA) get underestimated lengths for the overflow
-    tail, which cannot produce >= min_len MEMs anyway.
+    BATCH-GLOBALLY into one flat worklist of work_per_read * B lanes
+    (a typical read has ~#errors+1 jumps, so the pool is shared: one
+    junk read may take many slots without starving others) and extended
+    LCE_CHUNK chars per round — one wide vector gather per round
+    instead of one tiny gather per extended char. A cheap scan then
+    propagates the shift identity. On pool overflow the dropped tail
+    positions fall back to the suffix-shift estimate (approximate but
+    smooth); size the pool to the workload via work_per_read.
 
     returns lens int32[B, M]."""
     B, M = reads.shape
-    text = tables["text"]
     n = tables["n"]
+    W = work_per_read * B
 
     prev_ptr = jnp.pad(ptr, ((0, 0), (1, 0)), constant_values=-2)[:, :M]
     valid = jnp.arange(M)[None, :] < read_lens[:, None]
     needy = (ptr != prev_ptr + 1) & valid
 
-    # compact needy positions into [B, max_jumps] slots (overflow dropped)
-    slot = jnp.cumsum(needy.astype(jnp.int32), axis=1) - 1
-    slot = jnp.where(needy & (slot < max_jumps), slot, max_jumps)
-    rows = jnp.arange(B)[:, None].repeat(M, 1)
-    cols = jnp.arange(M)[None, :].repeat(B, 0)
-    wpos = jnp.zeros((B, max_jumps + 1), jnp.int32).at[rows, slot].set(
-        cols, mode="drop")[:, :max_jumps]
-    wcount = jnp.sum(needy, axis=1)
-    wactive = jnp.arange(max_jumps)[None, :] < \
-        jnp.minimum(wcount, max_jumps)[:, None]
-    wptr = jnp.take_along_axis(ptr, wpos, axis=1)
+    # compact needy (read, col) pairs into the flat worklist
+    nf = needy.reshape(-1)
+    slot = jnp.cumsum(nf.astype(jnp.int32)) - 1
+    # pool overflow: treat the dropped tail as non-needy so it inherits
+    # the (underestimating) suffix-shift value instead of collapsing to 0
+    needy = needy & (slot < W).reshape(B, M)
+    slot = jnp.where(nf & (slot < W), slot, W)
+    rows = (jnp.arange(B)[:, None].repeat(M, 1)).reshape(-1)
+    cols = (jnp.arange(M)[None, :].repeat(B, 0)).reshape(-1)
+    zW = jnp.zeros((W + 1,), jnp.int32)
+    wb = zW.at[slot].set(rows, mode="drop")[:W]        # read id per lane
+    wcol = zW.at[slot].set(cols, mode="drop")[:W]      # read offset
+    wptr_ = zW.at[slot].set(ptr.reshape(-1), mode="drop")[:W]
+    total = jnp.sum(needy)
+    wactive = jnp.arange(W) < jnp.minimum(total, W)
 
-    # chunked LCE on the worklist
-    lanes = jnp.arange(B)[:, None]
-    d = jnp.arange(LCE_CHUNK)[None, None, :]
+    # Two-phase LCE. Empirically ~99% of jump LCEs sit at the random-
+    # match noise floor log4(n) < LCE_CHUNK and only ~1 per read runs
+    # long, so: phase 1 is ONE LCE_CHUNK-wide compare for every
+    # worklist lane; phase 2 loops LCE_CHUNK2-wide rounds over the few
+    # survivors compacted into a small pool. Text chars come from the
+    # word-packed text (extract_windows): C/4+1 word gathers +
+    # in-register unpack instead of per-char byte gathers.
+    def lce_round(wb_, wcol_, wptr_v, l_, C):
+        d = jnp.arange(C)[None, :]
+        roff = wcol_[:, None] + l_[:, None] + d
+        rin = roff < read_lens[wb_][:, None]
+        tin = (wptr_v[:, None] + l_[:, None] + d) < n
+        rch = reads[wb_[:, None], jnp.clip(roff, 0, M - 1)]
+        tch = extract_windows(tables, wptr_v + l_, C)
+        neq = ~(rin & tin & (rch == tch))
+        anybad = jnp.any(neq, axis=1)
+        firstbad = jnp.argmax(neq, axis=1).astype(jnp.int32)
+        return anybad, jnp.where(anybad, firstbad, C)
+
+    anybad1, wlce = lce_round(wb, wcol, wptr_,
+                              jnp.zeros((W,), jnp.int32), LCE_CHUNK)
+
+    # survivors ARE the real MEM candidates (~1-2 per matching lane):
+    # the pool must cover them all, or reads silently lose their MEMs
+    W2 = max(4 * B, 256)
+    src2, act2 = _compact(wactive & ~anybad1, W2)
+    wb2, wcol2, wptr2 = wb[src2], wcol[src2], wptr_[src2]
 
     def cond(state):
-        _, ext, _ = state
-        return jnp.any(ext)
+        return jnp.any(state[1])
 
     def body(state):
         l, ext, r = state
-        roff = wpos[:, :, None] + l[:, :, None] + d      # read offsets
-        toff = wptr[:, :, None] + l[:, :, None] + d
-        rin = roff < read_lens[:, None, None]
-        tin = toff < n
-        rch = reads[lanes[:, :, None].repeat(max_jumps, 1),
-                    jnp.clip(roff, 0, M - 1)]
-        tch = text[jnp.clip(toff, 0, n - 1)].astype(jnp.int32)
-        eq = rin & tin & (rch == tch)
-        neq = ~eq
-        anybad = jnp.any(neq, axis=2)
-        firstbad = jnp.argmax(neq, axis=2).astype(jnp.int32)
-        add = jnp.where(anybad, firstbad, LCE_CHUNK)
+        anybad, add = lce_round(wb2, wcol2, wptr2, l, LCE_CHUNK2)
         l = l + jnp.where(ext, add, 0)
         return l, ext & ~anybad, r + 1
 
-    l0 = jnp.zeros((B, max_jumps), jnp.int32)
-    wlce, _, _ = jax.lax.while_loop(cond, body, (l0, wactive, 0))
+    l2 = jnp.full((W2,), LCE_CHUNK, jnp.int32)
+    l2, _, _ = jax.lax.while_loop(cond, body, (l2, act2, 0))
+    wlce = jnp.concatenate([wlce, jnp.zeros((1,), jnp.int32)]).at[
+        jnp.where(act2, src2, W)].set(l2, mode="drop")[:W]
 
     # scatter LCEs back and propagate the shift identity
-    wlanes = jnp.arange(B)[:, None].repeat(max_jumps, 1)
-    lce_at = jnp.zeros((B, M + 1), jnp.int32).at[
-        wlanes, jnp.where(wactive, wpos, M)].set(
-        wlce, mode="drop")[:, :M]
+    lce_at = jnp.zeros((B * M + 1,), jnp.int32).at[
+        jnp.where(wactive, wb * M + wcol, B * M)].set(
+        wlce, mode="drop")[:B * M].reshape(B, M)
 
     def prop(carry, xs):
         nd, lc = xs
@@ -202,9 +254,9 @@ def ms_lengths_batch(tables, reads, read_lens, ptr,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_mems", "min_len", "max_jumps"))
+                   static_argnames=("max_mems", "min_len", "work_per_read"))
 def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
-                    max_jumps=DEFAULT_MAX_JUMPS):
+                    work_per_read=DEFAULT_WORK_PER_READ):
     """MEMs per read: positions where the match is maximal
     (seed_finder.hpp:149-157: l >= pl, not all-N, l >= min_len).
 
@@ -218,7 +270,7 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
     B, M = reads.shape
     ptr = ms_pointers_batch(tables, reads, read_lens)
     lens = ms_lengths_batch(tables, reads, read_lens, ptr,
-                            max_jumps=max_jumps)
+                            work_per_read=work_per_read)
 
     prev_lens = jnp.pad(lens, ((0, 0), (1, 0)))[:, :M]
     is_mem = (lens >= prev_lens) & (lens >= min_len)
@@ -246,13 +298,62 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
     return mem_ptr, mem_len, mem_idx, mem_count
 
 
+TEXT_PAD = 4096    # slack so window/LCE slice-gathers never clamp
+
+
 def prepare_tables(index):
-    """MoniIndex -> device table pytree consumed by the kernels."""
+    """MoniIndex -> device table pytree consumed by the kernels.
+
+    Reorganizes the serialized arrays into the gather-minimal layout the
+    kernels want (see ms_step): multi-field row gathers (run2, rc4, phi3),
+    pos->run / pos->anchor uint8 block deltas, and a zero-padded text so
+    contiguous slice-gathers never need per-element clamping."""
     d = index.device_tables()
+    r, n = index.r, index.n
+
+    # fused per-run (8B) and per-(run, char) (16B) row records
+    d["run2"] = jnp.stack(
+        [jnp.asarray(index.run_starts, jnp.int32),
+         jnp.asarray(index.run_heads, jnp.int32)], axis=1)
+    rc4 = np.stack([index.clen_at_run, index.run_crank,
+                    index.thr_cnt_run, index.thr_pos_run],
+                   axis=2).astype(np.int32)
+    d["rc4"] = jnp.asarray(rc4.reshape(r * SIGMA, 4))
+    for k in ("clen_at_run", "run_crank", "thr_cnt_run", "thr_pos_run",
+              "run_starts", "run_heads", "samples_start", "samples_last"):
+        d.pop(k, None)
+
+    # pos -> run: block anchor + uint8 in-block delta (<= 63)
+    run_lens = np.diff(np.append(index.run_starts.astype(np.int64), n))
+    run_at_pos = np.repeat(np.arange(r, dtype=np.int64), run_lens)
+    blk = np.asarray(index.block_run, np.int64)[
+        np.arange(n, dtype=np.int64) >> BLOCK_BITS]
+    d["run_delta_u8"] = jnp.asarray((run_at_pos - blk).astype(np.uint8))
+
+    # Phi / Phi^-1 successor lookup: block anchor + uint8 delta + fused
+    # (z, w, wl) 12B row gather (replaces a 22-step searchsorted chain)
+    qs = np.arange(n, dtype=np.int64)
+    for name in ("phi", "phiinv"):
+        pre = "" if name == "phi" else "inv"
+        z = np.asarray(getattr(index, f"phi{pre}_z"), np.int64)
+        kq = np.searchsorted(z, qs, side="left")
+        kb = np.searchsorted(z, np.arange(0, n, 1 << BLOCK_BITS,
+                                          dtype=np.int64), side="left")
+        d[f"{name}_kblk"] = jnp.asarray(kb.astype(np.int32))
+        d[f"{name}_kd_u8"] = jnp.asarray(
+            (kq - kb[qs >> BLOCK_BITS]).astype(np.uint8))
+        d[f"{name}3"] = jnp.stack(
+            [jnp.asarray(getattr(index, f"phi{pre}_z"), jnp.int32),
+             jnp.asarray(getattr(index, f"phi{pre}_w"), jnp.int32),
+             jnp.asarray(getattr(index, f"phi{pre}_wl"), jnp.int32)], axis=1)
+        for suf in ("z", "w", "wl"):
+            d.pop(f"phi{pre}_{suf}", None)
+
+    pad = TEXT_PAD + (-(n + TEXT_PAD)) % 4
+    tp = np.concatenate([index.text.astype(np.uint8),
+                         np.zeros(pad, np.uint8)])
+    d["text"] = jnp.asarray(tp.view(np.int8))
+    d["text_w32"] = jnp.asarray(tp.view("<u4"))   # 4 chars per word
     d["F32"] = jnp.asarray(index.F, dtype=jnp.int32)
-    d["clen_at_run_flat"] = d.pop("clen_at_run").reshape(-1)
-    d["run_crank_flat"] = d.pop("run_crank").reshape(-1)
-    d["thr_cnt_run_flat"] = d.pop("thr_cnt_run").reshape(-1)
-    d["thr_pos_run_flat"] = d.pop("thr_pos_run").reshape(-1)
     d["csamples"] = jnp.stack([d.pop("csamples_start"), d.pop("csamples_last")])
     return d

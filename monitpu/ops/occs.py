@@ -27,20 +27,28 @@ import jax
 import jax.numpy as jnp
 
 
+from ..index.schema import BLOCK_BITS
+
+
+def _phi_lookup(tables, q, name):
+    """Successor-anchor lookup as 3 gathers: block anchor + uint8 delta
+    give the searchsorted result directly (see ms.prepare_tables), then
+    one fused 12-byte (z, w, wl) row gather."""
+    k = (tables[f"{name}_kblk"][q >> BLOCK_BITS] +
+         tables[f"{name}_kd_u8"][q].astype(jnp.int32))
+    row = tables[f"{name}3"][jnp.minimum(k, tables[f"{name}3"].shape[0] - 1)]
+    z = row[..., 0]
+    return row[..., 1] - (z - q), row[..., 2] + (z - q)
+
+
 def phi_batch(tables, q):
     """(Phi(q), lcp(q, Phi(q))) for a batch. Callers must mask q == sa0."""
-    k = jnp.searchsorted(tables["phi_z"], q, side="left")
-    k = jnp.minimum(k, tables["phi_z"].shape[0] - 1)
-    z = tables["phi_z"][k]
-    return tables["phi_w"][k] - (z - q), tables["phi_wl"][k] + (z - q)
+    return _phi_lookup(tables, q, "phi")
 
 
 def phi_inv_batch(tables, q):
     """(Phi^-1(q), lcp) for a batch. Callers must mask q == sa_last."""
-    k = jnp.searchsorted(tables["phiinv_z"], q, side="left")
-    k = jnp.minimum(k, tables["phiinv_z"].shape[0] - 1)
-    z = tables["phiinv_z"][k]
-    return tables["phiinv_w"][k] - (z - q), tables["phiinv_wl"][k] + (z - q)
+    return _phi_lookup(tables, q, "phiinv")
 
 
 @functools.partial(jax.jit, static_argnames=("max_occs",))
@@ -49,9 +57,12 @@ def enumerate_occs(tables, up_start, down_start, length, active,
     """Occurrences of a seed per lane.
 
     up_start, down_start, length: int32[L]; active, include_start: bool[L].
-    Returns (occs int32[L, max_occs], count int32[L], overflow bool[L]).
-    Order matches the reference: start (if included), then the up walk
-    (increasingly earlier SA rows), then the down walk."""
+    Returns (occs int32[L, max_occs], count int32[L], far_up int32[L],
+    far_down int32[L]). Order matches the reference: start (if
+    included), then the up walk (increasingly earlier SA rows), then the
+    down walk. far_up / far_down are the last positions each walk
+    reached (find_MEM_above/below's occs.back(), seed_finder.hpp:286-292
+    — used to seed the left-half walks without re-walking)."""
     L = up_start.shape[0]
     lanes = jnp.arange(L)
     occs = jnp.zeros((L, max_occs + 1), jnp.int32)
@@ -68,85 +79,104 @@ def enumerate_occs(tables, up_start, down_start, length, active,
 
         def body(s):
             occs, cnt, cur, walking = s
-            nxt, lcp = step_fn(tables, cur)
+            # finished lanes gather address 0 (coalesced, ~free)
+            nxt, lcp = step_fn(tables, jnp.where(walking, cur, 0))
             ok = walking & (lcp >= length) & (cur != boundary) & (cnt < max_occs)
             slot = jnp.where(ok, cnt, max_occs)
             occs = occs.at[lanes, slot].set(
-                jnp.where(ok, nxt, occs[lanes, slot]))
+                jnp.where(ok, nxt, 0), mode="drop")
             cnt = cnt + ok.astype(jnp.int32)
             return occs, cnt, jnp.where(ok, nxt, cur), ok
 
-        occs, cnt, _, _ = jax.lax.while_loop(
+        occs, cnt, far, _ = jax.lax.while_loop(
             cond, body, (occs, cnt, start, active & (length > 0)))
-        return occs, cnt
+        return occs, cnt, far
 
-    occs, cnt = walk(occs, cnt, up_start, phi_batch, tables["sa0"])
-    occs, cnt = walk(occs, cnt, down_start, phi_inv_batch, tables["sa_last"])
-    return occs[:, :max_occs], cnt, cnt >= max_occs
-
-
-def _farthest(tables, step_fn, boundary, start, length, active, max_steps):
-    """Last position of a capped Phi walk (find_MEM_above's occs.back())."""
-
-    def cond(s):
-        return jnp.any(s[1])
-
-    def body(s):
-        cur, walking, steps = s
-        nxt, lcp = step_fn(tables, cur)
-        ok = walking & (lcp >= length) & (cur != boundary) & (steps < max_steps)
-        return jnp.where(ok, nxt, cur), ok, steps + 1
-
-    cur, _, _ = jax.lax.while_loop(
-        cond, body, (start, active, jnp.zeros_like(start)))
-    return cur
+    occs, cnt, far_up = walk(occs, cnt, up_start, phi_batch, tables["sa0"])
+    occs, cnt, far_dn = walk(occs, cnt, down_start, phi_inv_batch,
+                             tables["sa_last"])
+    return occs[:, :max_occs], cnt, far_up, far_dn
 
 
-@functools.partial(jax.jit, static_argnames=("max_occs", "min_len"))
+from .ms import _compact
+
+
+def _scatter_rows(src, active, vals, L):
+    """Inverse of _compact for row payloads: [W, ...] -> [L, ...]."""
+    dest = jnp.where(active, src, L)
+    out_shape = (L + 1,) + vals.shape[1:]
+    return jnp.zeros(out_shape, vals.dtype).at[dest].set(
+        vals, mode="drop")[:L]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_occs", "min_len", "occs_work"))
 def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
-                         max_occs=64, min_len=25):
+                         max_occs=64, min_len=25, occs_work=8):
     """MEMs [B, K] -> seeds [B, 3K] with occurrence lists.
 
     Seed slot layout: [0,K) the MEMs; [K,2K) left halves; [2K,3K) right
     halves (halves active only when len >= 2*min_len). rpos for chaining
     is idx + len - 1 for every seed (the reference's rl/rr expressions
-    reduce to this). Returns dict of [B, 3K] / [B, 3K, max_occs] arrays."""
+    reduce to this). Returns dict of [B, 3K] / [B, 3K, max_occs] arrays.
+
+    Valid MEMs (typically a handful of the K slots) are compacted into a
+    flat occs_work*B-lane worklist before the Phi walks so lockstep walk
+    rounds only pay for real seeds; left/right half-seeds ride a second
+    worklist seeded by the parent walks' far endpoints."""
     B, K = mem_ptr.shape
+    L = B * K
     f = lambda x: x.reshape(-1)
     valid = f(jnp.arange(K)[None, :] < mem_count[:, None])
     ptr, mlen, midx = f(mem_ptr), f(mem_len), f(mem_idx)
-    ones = jnp.ones((B * K,), bool)
 
-    occs, cnt, _ = enumerate_occs(tables, ptr, ptr, mlen, valid, ones,
-                                  max_occs)
+    # ---- worklist 1: parent MEMs ----
+    W1 = occs_work * B
+    src1, act1 = _compact(valid, W1)
+    onesW = jnp.ones((W1,), bool)
+    occs_w, cnt_w, fup_w, fdn_w = enumerate_occs(
+        tables, ptr[src1], ptr[src1], mlen[src1], act1, onesW, max_occs)
+    occs = _scatter_rows(src1, act1, occs_w, L)
+    cnt = _scatter_rows(src1, act1, cnt_w, L)
+    upper = _scatter_rows(src1, act1, fup_w, L)
+    lower = _scatter_rows(src1, act1, fdn_w, L)
+    valid = valid & _scatter_rows(src1, act1, act1, L)   # drop overflow
 
+    # ---- worklist 2: half seeds (left + right jobs concatenated) ----
     split = valid & (mlen >= 2 * min_len)
     ll = mlen >> 1
     lr = mlen - ll
-    upper = _farthest(tables, phi_batch, tables["sa0"], ptr, mlen, split,
-                      max_occs)
-    lower = _farthest(tables, phi_inv_batch, tables["sa_last"], ptr, mlen,
-                      split, max_occs)
+    W2 = 2 * B
+    src2, act2 = _compact(jnp.concatenate([split, split]), W2)
+    is_left = src2 < L
+    p = jnp.where(is_left, src2, src2 - L)
+    h_up = jnp.where(is_left, upper[p], ptr[p] + ll[p])
+    h_dn = jnp.where(is_left, lower[p], ptr[p] + ll[p])
+    h_len = jnp.where(is_left, ll[p], lr[p])
+    hocc_w, hcnt_w, _, _ = enumerate_occs(
+        tables, h_up, h_dn, h_len, act2, jnp.ones((W2,), bool), max_occs)
+    # halves flat layout: [0, L) left-of-parent-l, [L, 2L) right-of-l
+    dest = jnp.where(act2, jnp.where(is_left, p, L + p), 2 * L)
+    zocc = jnp.zeros((2 * L + 1, max_occs), jnp.int32)
+    hocc = zocc.at[dest].set(hocc_w, mode="drop")[:2 * L]
+    hcnt = jnp.zeros((2 * L + 1,), jnp.int32).at[dest].set(
+        hcnt_w, mode="drop")[:2 * L]
+    hval = jnp.zeros((2 * L + 1,), bool).at[dest].set(
+        act2, mode="drop")[:2 * L]
 
-    locc, lcnt, _ = enumerate_occs(tables, upper, lower, ll, split, ones,
-                                   max_occs)
-    rocc, rcnt, _ = enumerate_occs(tables, ptr + ll, ptr + ll, lr, split,
-                                   ones, max_occs)
+    def cat1(a, bc):
+        return jnp.concatenate([a.reshape(B, K),
+                                bc.reshape(2, B, K).transpose(1, 0, 2)
+                                .reshape(B, 2 * K)], axis=1)
 
-    def cat1(a, b, c):
-        return jnp.concatenate(
-            [a.reshape(B, K), b.reshape(B, K), c.reshape(B, K)], axis=1)
-
-    def cat2(a, b, c):
-        return jnp.concatenate([a.reshape(B, K, max_occs),
-                                b.reshape(B, K, max_occs),
-                                c.reshape(B, K, max_occs)], axis=1)
-
-    seed_cnt = cat1(cnt, jnp.where(split, lcnt, 0), jnp.where(split, rcnt, 0))
+    seed_cnt = cat1(cnt, hcnt)
     return {
-        "occs": cat2(occs, locc, rocc),
+        "occs": jnp.concatenate(
+            [occs.reshape(B, K, max_occs),
+             hocc.reshape(2, B, K, max_occs).transpose(1, 0, 2, 3)
+             .reshape(B, 2 * K, max_occs)], axis=1),
         "cnt": seed_cnt,
-        "len": cat1(mlen, ll, lr),
-        "idx": cat1(midx, midx, midx + ll),
-        "valid": cat1(valid, split, split) & (seed_cnt > 0),
+        "len": cat1(mlen, jnp.concatenate([ll, lr])),
+        "idx": cat1(midx, jnp.concatenate([midx, midx + ll])),
+        "valid": cat1(valid, hval) & (seed_cnt > 0),
     }

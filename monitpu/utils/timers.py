@@ -28,8 +28,13 @@ def phase_timer(name, sync=None):
     t0 = time.perf_counter()
     yield
     if sync is not None:
+        # block_until_ready can return early under the axon TPU tunnel;
+        # a host transfer of one element per leaf is a reliable fence
+        import numpy as _np
         import jax
-        jax.block_until_ready(sync() if callable(sync) else sync)
+        for leaf in jax.tree.leaves(sync() if callable(sync) else sync):
+            if hasattr(leaf, "shape"):
+                _np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
     dt = time.perf_counter() - t0
     _acc[name] += dt
     _cnt[name] += 1

@@ -64,7 +64,7 @@ def test_ms_lengths_parity(rng):
     ptr = ms_pointers_batch(tables, jnp.asarray(reads), jnp.asarray(lens))
     out = np.asarray(ms_lengths_batch(tables, jnp.asarray(reads),
                                       jnp.asarray(lens), ptr,
-                                      max_jumps=reads.shape[1]))
+                                      work_per_read=reads.shape[1]))
     for b in range(reads.shape[0]):
         L = lens[b]
         p = refimpl.ms_pointers(idx, reads[b, :L])
@@ -95,7 +95,7 @@ def test_find_mems_parity(rng):
     mp, ml, mi, mc = find_mems_batch(tables, jnp.asarray(reads),
                                      jnp.asarray(lens),
                                      max_mems=16, min_len=min_len,
-                                     max_jumps=reads.shape[1])
+                                     work_per_read=reads.shape[1])
     mp, ml, mi, mc = map(np.asarray, (mp, ml, mi, mc))
     for b in range(reads.shape[0]):
         expect = ref_find_mems(idx, reads[b, :lens[b]], min_len)[:16]

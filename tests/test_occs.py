@@ -55,13 +55,13 @@ def test_enumerate_occs_vs_brute(rng):
     starts = np.asarray(starts, np.int32)
     lens = np.asarray(lens, np.int32)
     active = np.ones(len(starts), bool)
-    occs, cnt, ovf = enumerate_occs(
+    occs, cnt, _, _ = enumerate_occs(
         tables, jnp.asarray(starts), jnp.asarray(starts), jnp.asarray(lens),
         jnp.asarray(active), jnp.asarray(active), max_occs=64)
-    occs, cnt, ovf = map(np.asarray, (occs, cnt, ovf))
+    occs, cnt = map(np.asarray, (occs, cnt))
     for i in range(len(starts)):
         expected = refimpl.brute_occurrences(t, int(starts[i]), int(lens[i]))
-        if ovf[i]:
+        if cnt[i] >= 64:
             continue
         got = set(occs[i, :cnt[i]].tolist())
         assert got == expected, f"lane {i}"
