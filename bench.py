@@ -27,7 +27,7 @@ CPU_MONI_BASELINE = 2000.0  # reads/s, estimated single-thread CPU MONI
 GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", 4.0))
 N_HAPS = int(os.environ.get("BENCH_HAPS", 4))
 N_READS = int(os.environ.get("BENCH_READS", 16384))
-BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 READ_LEN = 150
 
 

@@ -29,7 +29,7 @@ from ..index.schema import MoniIndex
 from ..ops.ms import extract_windows, find_mems_batch, prepare_tables
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import ChainConfig, find_chains_batch
-from ..ops.sw import SWParams, sw_fit
+from ..ops.sw import SWParams, sw_fit, sw_fit_banded
 from .sam import (SamRecord, SAM_REVERSED, SAM_UNMAPPED, md_nm_from_ops,
                   cigar_ops_to_string, sam_header)
 from .mapq import compute_mapq_se_bwa
@@ -93,18 +93,20 @@ def _score_chains(tables, anchors, chains, fwd, rc, lens, cfg: AlignConfig):
     n = tables["n"]
     win_start = jnp.clip(fpos - fidx - cfg.margin, 0, n - 1)
 
-    # packed-word window extraction (text_w32, see ops.ms.extract_windows)
+    # packed-word window extraction (text_w32, see ops.ms.extract_windows);
+    # the banded score kernel only needs read_pad + band columns
+    Wt = -(-(M + 2 * cfg.margin + 4) // 4) * 4
     target = extract_windows(tables, win_start.reshape(-1),
-                             cfg.window).reshape(B, C, cfg.window)
-    tlen = jnp.clip(n - win_start, 0, cfg.window)
+                             Wt).reshape(B, C, Wt)
+    tlen = jnp.clip(n - win_start, 0, Wt)
 
     is_rc = (chains["mate"] & MATE_RC) != 0
     query = jnp.where(is_rc[:, :, None], rc[:, None, :], fwd[:, None, :])
 
-    out = sw_fit(query.reshape(B * C, M),
-                 jnp.repeat(lens, C),
-                 target.reshape(B * C, cfg.window),
-                 tlen.reshape(-1), cfg.sw)
+    out = sw_fit_banded(query.reshape(B * C, M),
+                        jnp.repeat(lens, C),
+                        target.reshape(B * C, Wt),
+                        tlen.reshape(-1), cfg.sw, band_w=cfg.margin)
     score = jnp.where(chains["valid"].reshape(-1), out["score"],
                       jnp.int32(-(2**28))).reshape(B, C)
     tend = out["tend"].reshape(B, C)
@@ -205,6 +207,8 @@ class Aligner:
         cfg = self.cfg
         B = len(reads)
         M = cfg.read_pad
+        t_enc = phase_timer("encode")
+        t_enc.__enter__()
         fwd = np.zeros((B, M), np.int32)
         rc = np.zeros((B, M), np.int32)
         lens = np.zeros(B, np.int32)
@@ -217,6 +221,7 @@ class Aligner:
             lens[b] = len(codes)
             fcodes.append(codes)
             rcodes.append(r)
+        t_enc.__exit__(None, None, None)
 
         with phase_timer("device dispatch"):
             dev = _device_pipeline(self.tables, jnp.asarray(fwd),
@@ -266,6 +271,8 @@ class Aligner:
         fscore = fin["score"]
 
         # ---- SAM assembly ----
+        t_sam = phase_timer("sam assembly")
+        t_sam.__enter__()
         records = []
         for b, (name, seq, qual) in enumerate(reads):
             rec = SamRecord(qname=name, seq=seq,
@@ -302,6 +309,7 @@ class Aligner:
                 rec.alt_pos.append(p)
                 rec.alt_scores.append(sc)
             records.append(rec)
+        t_sam.__exit__(None, None, None)
         return records
 
     def _select(self, B, score, tend, win_start, cvalid, lens, cfg):

@@ -39,7 +39,7 @@ from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
 from ..ops.ms import extract_windows, find_mems_batch
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import find_chains_batch
-from ..ops.sw import sw_fit
+from ..ops.sw import sw_fit_banded
 from .aligner import Aligner, AlignConfig, _host_finalize, MATE_RC
 from .mapq import compute_mapq_se_bwa, compute_mapq_pe_bwa
 from .sam import (SamRecord, SAM_PAIRED, SAM_MAPPED_PAIRED, SAM_UNMAPPED,
@@ -145,10 +145,11 @@ def _pe_score_chains(tables, anchors, chains, m1f, m1r, m2f, m2r,
     q = jnp.concatenate([q1.reshape(B * C, M), q2.reshape(B * C, M)], axis=0)
     ql = jnp.concatenate([ql1.reshape(-1), ql2.reshape(-1)], axis=0)
     ws = jnp.concatenate([w1.reshape(-1), w2.reshape(-1)], axis=0)
-    target = extract_windows(tables, ws, cfg.window)
-    tlen = jnp.clip(n - ws, 0, cfg.window)
+    Wt = -(-(M + 2 * cfg.margin + 4) // 4) * 4
+    target = extract_windows(tables, ws, Wt)
+    tlen = jnp.clip(n - ws, 0, Wt)
 
-    out = sw_fit(q, ql, target, tlen, cfg.sw)
+    out = sw_fit_banded(q, ql, target, tlen, cfg.sw, band_w=cfg.margin)
     s = out["score"].reshape(2, B, C)
     te = out["tend"].reshape(2, B, C)
     cv = chains["valid"]

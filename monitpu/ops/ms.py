@@ -118,6 +118,7 @@ def extract_windows(tables, starts, W):
     byte unpack — 4x fewer HBM transactions for target-window
     extraction, the LCE inner loop, and orphan windows. starts may run
     past n (text is TEXT_PAD-padded with SEP); callers mask by tlen."""
+    assert W % 4 == 0, "extract_windows width must be a multiple of 4"
     text_w = tables["text_w32"]
     L = starts.shape[0]
     starts = jnp.maximum(starts, 0)

@@ -73,23 +73,50 @@ def enumerate_occs(tables, up_start, down_start, length, active,
         jnp.where(put, up_start, 0))
     cnt = cnt + put.astype(jnp.int32)
 
+    P1_ROUNDS = 6   # covers the typical haplotype-count occurrence list
+
     def walk(occs, cnt, start, step_fn, boundary):
-        def cond(s):
+        """Two-phase lockstep walk: a fixed number of full-width rounds
+        (most seeds have only a few occurrences — one per haplotype),
+        then the rare deep walkers (repeat regions heading for the
+        max_occs cap) are compacted into a small pool so their ~max_occs
+        rounds don't run at full batch width."""
+        def step(rows, occs, cnt, cur, walking):
+            nxt, lcp = step_fn(tables, cur)
+            ok = walking & (lcp >= length[rows]) & (cur != boundary) & \
+                (cnt < max_occs)
+            slot = jnp.where(ok, cnt, max_occs)
+            occs = occs.at[rows, slot].set(jnp.where(ok, nxt, 0),
+                                           mode="drop")
+            return occs, cnt + ok.astype(jnp.int32), \
+                jnp.where(ok, nxt, cur), ok
+
+        def body1(_, s):
+            occs, cnt, cur, walking = s
+            return step(lanes, occs, cnt, cur, walking)
+
+        occs, cnt, cur, walking = jax.lax.fori_loop(
+            0, P1_ROUNDS, body1,
+            (occs, cnt, start, active & (length > 0)))
+
+        W2 = max(L // 8, 64)
+        src2, act2 = _compact(walking, W2)
+        rows2 = jnp.where(act2, src2, L)   # L row of occs is the trash row
+
+        def cond2(s):
             return jnp.any(s[3])
 
-        def body(s):
-            occs, cnt, cur, walking = s
-            # finished lanes gather address 0 (coalesced, ~free)
-            nxt, lcp = step_fn(tables, jnp.where(walking, cur, 0))
-            ok = walking & (lcp >= length) & (cur != boundary) & (cnt < max_occs)
-            slot = jnp.where(ok, cnt, max_occs)
-            occs = occs.at[lanes, slot].set(
-                jnp.where(ok, nxt, 0), mode="drop")
-            cnt = cnt + ok.astype(jnp.int32)
-            return occs, cnt, jnp.where(ok, nxt, cur), ok
+        def body2(s):
+            occs, cnt2, cur2, walking2 = s
+            return step(rows2, occs, cnt2, cur2, walking2)
 
-        occs, cnt, far, _ = jax.lax.while_loop(
-            cond, body, (occs, cnt, start, active & (length > 0)))
+        occs2 = jnp.concatenate(
+            [occs, jnp.zeros((1, occs.shape[1]), occs.dtype)], axis=0)
+        occs2, cnt2, cur2, _ = jax.lax.while_loop(
+            cond2, body2, (occs2, cnt[src2], cur[src2], act2))
+        occs = occs2[:L]
+        cnt = cnt.at[rows2].set(cnt2, mode="drop")
+        far = cur.at[rows2].set(cur2, mode="drop")
         return occs, cnt, far
 
     occs, cnt, far_up = walk(occs, cnt, up_start, phi_batch, tables["sa0"])

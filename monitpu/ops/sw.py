@@ -163,6 +163,79 @@ def sw_fit(query, qlen, target, tlen, params: SWParams = SWParams(),
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("params", "band_w"))
+def sw_fit_banded(query, qlen, target, tlen, params: SWParams = SWParams(),
+                  band_w: int = 48):
+    """Banded fitting alignment score: full query inside a band of
+    half-width band_w around the expected diagonal (query i <-> target
+    column i — callers lay the window out so the chain's first anchor
+    puts the read at target offset ~band_w, i.e. win_start =
+    anchor_pos - anchor_idx - margin with margin == band_w).
+
+    The reference runs ksw2 with a band (-w) for exactly this reason;
+    paths drifting out of the band score lower, and the native finalize
+    falls back to a full DP if its banded traceback disagrees.
+
+    Diagonal-coordinate layout: state arrays are [B, W] with W =
+    2*band_w+1, k = j - i; the band never shifts, the F dependency is a
+    k+1 shift of the previous row, the in-row E dependency an
+    associative scan over W (vs the full window T) — O(Q*W) work
+    instead of O(Q*T).
+
+    Documented divergence from sw_fit: paths with leading query
+    insertions BEFORE the target window start (read hanging off the
+    window's left edge) are not representable in the band; such reads
+    re-run through the full DP in the finalize fallback.
+
+    Returns dict(score int32[B], tend int32[B])."""
+    B, Q = query.shape
+    T = target.shape[1]
+    W = 2 * band_w + 1
+    go, ge = params.gapo, params.gape
+    sm, sx = params.smatch, params.smismatch
+
+    def char_score(qc, t):
+        s = jnp.where(qc == t, jnp.int32(sm), jnp.int32(-sx))
+        s = jnp.where((qc == 5) | (t == 5), 0, s)
+        return jnp.where((qc == 0) | (t == 0), jnp.int32(SEP_SCORE), s)
+
+    ks = jnp.arange(W)[None, :]
+    # pad target so the per-row band slice never clamps
+    tpad = jnp.pad(target, ((0, 0), (0, W + 1)))
+
+    H0 = jnp.zeros((B, W), jnp.int32)        # row -1: free target start
+    F0 = jnp.full((B, W), NEG)
+
+    def row(carry, i):
+        Hprev, Fprev, best, bestj = carry
+        j = i + ks                            # target column per band cell
+        jvalid = j < tlen[:, None]
+        qc = jax.lax.dynamic_index_in_dim(query, i, 1, keepdims=False)
+        tband = jax.lax.dynamic_slice_in_dim(tpad, i, W, axis=1)
+        s = char_score(qc[:, None], tband)
+        # F: gap along query; sources are previous row at k+1
+        Hup = jnp.concatenate([Hprev[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+        Fup = jnp.concatenate([Fprev[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+        F = jnp.maximum(Fup - ge, Hup - go - ge)
+        diag = Hprev + s                      # H[i-1][j-1] is same k
+        U = jnp.maximum(diag, F)
+        # E: gap along target; in-row scan, left-of-band = -inf
+        U_shift = jnp.concatenate([jnp.full((B, 1), NEG), U[:, :-1]], axis=1)
+        E = _scan_E(U_shift, go, ge)
+        H = jnp.where(jvalid, jnp.maximum(U, E), NEG)
+
+        last = i == qlen - 1
+        rb = jnp.max(H, axis=1)
+        rk = jnp.argmax(H, axis=1).astype(jnp.int32)
+        best = jnp.where(last, rb, best)
+        bestj = jnp.where(last, i + rk, bestj)
+        return (H, F, best, bestj), None
+
+    init = (H0, F0, jnp.full((B,), NEG), jnp.full((B,), -1, jnp.int32))
+    (H, F, best, bestj), _ = jax.lax.scan(row, init, jnp.arange(Q))
+    return {"score": best, "tend": bestj}
+
+
 def traceback_cigar(dirs, qlen, tend, batch_hint=None):
     """Host walk of the packed direction bits -> per-lane CIGAR op lists.
 
