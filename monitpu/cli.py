@@ -40,6 +40,10 @@ def cmd_build(args):
         f"tables={idx.nbytes()/1e6:.1f}MB ({time.time()-t0:.1f}s)")
     idx.save(args.output)
     log(f"saved {args.output}.monitpu.npz")
+    if getattr(args, "spumoni", False):
+        from .ops.spumoni import save_spumoni
+        save_spumoni(idx, args.output)
+        log(f"saved {args.output}.spumoni.npz (threshold-only)")
 
 
 def _load_aligner(args):
@@ -137,6 +141,44 @@ def cmd_ms(args):
     log(f"wrote {base}.pointers / {base}.lengths")
 
 
+def cmd_pseudo_ms(args):
+    """Pseudo matching statistics -> <out>.pseudo_lengths text format
+    (reference src/spumoni/run_spumoni.cpp:466; spumoni.hpp:355-410).
+    Loads the slim threshold-only index if present, else the full one."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from .index.alphabet import encode_seq
+    from .ops.spumoni import (pseudo_ms_batch, load_spumoni_tables,
+                              prepare_spumoni_tables)
+    from .io import read_fastq_batches
+
+    if os.path.exists(args.index + ".spumoni.npz"):
+        tables = load_spumoni_tables(args.index)
+        log("threshold-only (spumoni) index loaded")
+    else:
+        from .index import MoniIndex
+        tables = prepare_spumoni_tables(MoniIndex.load(args.index))
+    base = args.output or (args.pattern + ".monitpu")
+    out = open(base + ".pseudo_lengths", "w")
+    for batch in read_fastq_batches(args.pattern, args.batch_size):
+        M = max(max(len(s) for _, s, _ in batch), 8)
+        B = len(batch)
+        reads = np.zeros((B, M), np.int32)
+        lens = np.zeros(B, np.int32)
+        for b, (_, s, _) in enumerate(batch):
+            codes = encode_seq(s)
+            reads[b, :len(codes)] = codes
+            lens[b] = len(codes)
+        pl = np.asarray(pseudo_ms_batch(tables, jnp.asarray(reads),
+                                        jnp.asarray(lens)))
+        for b, (name, _, _) in enumerate(batch):
+            out.write(f">{name}\n" +
+                      " ".join(map(str, pl[b, :lens[b]])) + "\n")
+    out.close()
+    log(f"wrote {base}.pseudo_lengths")
+
+
 def cmd_mems(args):
     """MEM extraction -> <out>.mems text (reference src/mems.cpp:241-280)."""
     import numpy as np
@@ -184,6 +226,8 @@ def main(argv=None):
     b.add_argument("-H", "--haplotype", default="12",
                    help="1, 2, or 12 (haplotypes to include)")
     b.add_argument("-o", "--output", required=True)
+    b.add_argument("--spumoni", action="store_true",
+                   help="also save the threshold-only pseudo-MS index")
     b.set_defaults(fn=cmd_build)
 
     def common_query(a):
@@ -209,6 +253,12 @@ def main(argv=None):
     common_query(ms)
     ms.add_argument("-p", "--pattern", required=True)
     ms.set_defaults(fn=cmd_ms)
+
+    pm = sub.add_parser("pseudo-ms", help="pseudo matching statistics "
+                        "(SPUMONI)")
+    common_query(pm)
+    pm.add_argument("-p", "--pattern", required=True)
+    pm.set_defaults(fn=cmd_pseudo_ms)
 
     me = sub.add_parser("mems", help="maximal exact matches")
     common_query(me)

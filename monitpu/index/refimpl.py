@@ -79,6 +79,39 @@ def ms_lengths_from_pointers(idx: MoniIndex, pattern: np.ndarray,
     return lens
 
 
+def pseudo_ms_lengths(idx: MoniIndex, pattern: np.ndarray) -> np.ndarray:
+    """SPUMONI pseudo-matching-statistics lengths: the threshold-directed
+    backward search of include/ms/spumoni.hpp:355-410 — length grows by 1
+    on a matching step and resets to 0 on a threshold jump or absent
+    char. Uses only the RLBWT/threshold tables (no SA samples, no Phi)."""
+    m = len(pattern)
+    lens = np.zeros(m, dtype=np.int64)
+    pos = idx.n - 1
+    length = 0
+    F = idx.F
+    for i in range(m - 1, -1, -1):
+        c = int(pattern[i])
+        count_c = int(F[c + 1] - F[c])
+        j = run_of_position(idx, pos)
+        head = int(idx.run_heads[j])
+        rank_c_pos = int(idx.clen_at_run[j, c])
+        if head == c:
+            rank_c_pos += pos - int(idx.run_starts[j])
+        if count_c == 0:
+            length = 0
+            pos = min(int(F[c]), idx.n - 1)
+        elif head == c:
+            length += 1
+            pos = int(F[c]) + rank_c_pos
+        else:
+            rank_runs = int(idx.run_crank[j, c])
+            thr_c = int(idx.thr_cnt_run[j, c]) + int(idx.thr_pos_run[j, c] <= pos)
+            pos = int(F[c]) + rank_c_pos - (1 if rank_runs > thr_c else 0)
+            length = 0
+        lens[i] = length
+    return lens
+
+
 def phi(idx: MoniIndex, q: int):
     """(Phi(q), lcp(q, Phi(q))). Undefined at q == sa0 (top row)."""
     k = int(np.searchsorted(idx.phi_z, q, side="left"))

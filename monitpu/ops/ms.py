@@ -302,14 +302,14 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
 TEXT_PAD = 4096    # slack so window/LCE slice-gathers never clamp
 
 
-def prepare_tables(index):
-    """MoniIndex -> device table pytree consumed by the kernels.
-
-    Reorganizes the serialized arrays into the gather-minimal layout the
-    kernels want (see ms_step): multi-field row gathers (run2, rc4, phi3),
-    pos->run / pos->anchor uint8 block deltas, and a zero-padded text so
-    contiguous slice-gathers never need per-element clamping."""
-    d = index.device_tables()
+def lf_core_tables(index, d=None):
+    """The LF-step table subset (run2, rc4, run_delta_u8, F32, block_run,
+    n): everything pms/ms_step needs for the backward search itself.
+    Shared by prepare_tables and the threshold-only SPUMONI path
+    (ops/spumoni.py), which carries no SA samples or Phi structures."""
+    if d is None:
+        d = {"block_run": jnp.asarray(index.block_run),
+             "n": np.int32(index.n)}
     r, n = index.r, index.n
 
     # fused per-run (8B) and per-(run, char) (16B) row records
@@ -330,6 +330,20 @@ def prepare_tables(index):
     blk = np.asarray(index.block_run, np.int64)[
         np.arange(n, dtype=np.int64) >> BLOCK_BITS]
     d["run_delta_u8"] = jnp.asarray((run_at_pos - blk).astype(np.uint8))
+    d["F32"] = jnp.asarray(index.F, dtype=jnp.int32)
+    return d
+
+
+def prepare_tables(index):
+    """MoniIndex -> device table pytree consumed by the kernels.
+
+    Reorganizes the serialized arrays into the gather-minimal layout the
+    kernels want (see ms_step): multi-field row gathers (run2, rc4, phi3),
+    pos->run / pos->anchor uint8 block deltas, and a zero-padded text so
+    contiguous slice-gathers never need per-element clamping."""
+    d = index.device_tables()
+    r, n = index.r, index.n
+    d = lf_core_tables(index, d)
 
     # Phi / Phi^-1 successor lookup: block anchor + uint8 delta + fused
     # (z, w, wl) 12B row gather (replaces a 22-step searchsorted chain)
@@ -355,6 +369,5 @@ def prepare_tables(index):
                          np.zeros(pad, np.uint8)])
     d["text"] = jnp.asarray(tp.view(np.int8))
     d["text_w32"] = jnp.asarray(tp.view("<u4"))   # 4 chars per word
-    d["F32"] = jnp.asarray(index.F, dtype=jnp.int32)
     d["csamples"] = jnp.stack([d.pop("csamples_start"), d.pop("csamples_last")])
     return d
