@@ -141,6 +141,29 @@ def cmd_ms(args):
     log(f"wrote {base}.pointers / {base}.lengths")
 
 
+def cmd_extend(args):
+    """Legacy single-MEM extension -> SAM (reference src/extend/
+    extend_ksw2.cpp + include/extender/extender_ksw2.hpp)."""
+    from .align.extender import Extender
+    from .align.sam import write_sam_record
+    from .io import read_fastq_batches
+
+    aligner = _load_aligner(args)
+    ext = Extender(aligner)
+    out = open(args.output, "w") if args.output else sys.stdout
+    out.write(aligner.header())
+    t0 = time.time()
+    n = 0
+    for batch in read_fastq_batches(args.pattern, args.batch_size):
+        for rec in ext.extend_batch(batch):
+            write_sam_record(out, rec)
+        n += len(batch)
+        log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
+    if args.output:
+        out.close()
+    log(f"done: {ext.stats}")
+
+
 def cmd_pseudo_ms(args):
     """Pseudo matching statistics -> <out>.pseudo_lengths text format
     (reference src/spumoni/run_spumoni.cpp:466; spumoni.hpp:355-410).
@@ -253,6 +276,17 @@ def main(argv=None):
     common_query(ms)
     ms.add_argument("-p", "--pattern", required=True)
     ms.set_defaults(fn=cmd_ms)
+
+    ex = sub.add_parser("extend", help="legacy single-MEM extension")
+    common_query(ex)
+    ex.add_argument("-p", "--pattern", required=True)
+    ex.add_argument("-L", "--ext-len", type=int, default=100)
+    ex.add_argument("-F", "--freq-thr", type=float, default=0.5)
+    ex.add_argument("-w", "--max-iter", type=int, default=10)
+    ex.add_argument("-x", "--max-dist-x", type=int, default=500)
+    ex.add_argument("-y", "--max-dist-y", type=int, default=100)
+    ex.add_argument("-Z", "--min-chain-score", type=int, default=40)
+    ex.set_defaults(fn=cmd_extend)
 
     pm = sub.add_parser("pseudo-ms", help="pseudo matching statistics "
                         "(SPUMONI)")
