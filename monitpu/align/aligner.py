@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.alphabet import encode_seq, revcomp_codes
+from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
 from ..index.schema import MoniIndex
 from ..ops.ms import extract_windows, find_mems_batch, prepare_tables
 from ..ops.occs import populate_seeds_batch
@@ -316,6 +316,7 @@ class Aligner:
         """Per-read best-chain selection: region dedup + best/second best
         + AA ties (get_best_scores / check_max_score semantics)."""
         sel = []
+        self.last_chains_skipped = [0] * B   # csv_t.num_chains_skipped
         for b in range(B):
             order = np.argsort(-score[b], kind="stable")
             min_score = int(20 + 8 * math.log(max(int(lens[b]), 2)))
@@ -337,6 +338,7 @@ class Aligner:
                     name, off = self.pos_to_ref(int(win_start[b, c]))
                     alt.append((name, off + 1, sc))
                 if any(abs(r - lifted) < cfg.region_dist for r, _ in regions):
+                    self.last_chains_skipped[b] += 1
                     continue
                 regions.append((lifted, sc))
                 best.append((sc, endpos, c))
@@ -344,6 +346,68 @@ class Aligner:
                     break
             sel.append((best, alt, min_score))
         return sel
+
+    # ------------------------------------------------------------------
+    # opt-in modes: --report_mems and --csv (see align/memreport.py)
+    # ------------------------------------------------------------------
+    def _host_seeds(self, reads):
+        """find_mems + populate_seeds on [fwd; rc] lanes, pulled to host."""
+        cfg = self.cfg
+        B, M = len(reads), cfg.read_pad
+        fwd = np.zeros((B, M), np.int32)
+        rc = np.zeros((B, M), np.int32)
+        lens = np.zeros(B, np.int32)
+        rcs = []
+        for b, (_, seq, _) in enumerate(reads):
+            codes = encode_seq(seq[:M])
+            r = revcomp_codes(codes)
+            fwd[b, :len(codes)] = codes
+            rc[b, :len(codes)] = r
+            lens[b] = len(codes)
+            rcs.append(decode_seq(r))
+        lanes = jnp.asarray(np.concatenate([fwd, rc]))
+        lens2 = jnp.asarray(np.concatenate([lens, lens]))
+        mems = find_mems_batch(self.tables, lanes, lens2,
+                               max_mems=cfg.max_mems, min_len=cfg.min_len,
+                               work_per_read=cfg.lce_work or 96)
+        seeds = populate_seeds_batch(self.tables, *mems,
+                                     max_occs=cfg.max_occs,
+                                     min_len=cfg.min_len)
+        return {k: np.asarray(v) for k, v in seeds.items()}, rcs
+
+    def report_mems_batch(self, reads):
+        """--report_mems: SECONDARY records per (MEM, occurrence)
+        instead of aligning (aligner_ksw2.hpp:345-373)."""
+        from .memreport import mem_report_lane, MATE_RC as RC
+        seeds, rcs = self._host_seeds(reads)
+        B = len(reads)
+        records = []
+        for b, (name, seq, qual) in enumerate(reads):
+            self.stats["processed"] += 1
+            recs = mem_report_lane(seeds, b, 0, name, seq, qual,
+                                   rcs[b], self.pos_to_ref)
+            recs += mem_report_lane(seeds, B + b, RC, name, seq, qual,
+                                    rcs[b], self.pos_to_ref)
+            if recs:
+                self.stats["aligned"] += 1
+            records.extend(recs)
+        return records
+
+    def csv_rows_batch(self, reads, chains_skipped=None):
+        """--csv: per-read MEM statistics rows (populate_csv)."""
+        from .memreport import seed_csv_row
+        seeds, _ = self._host_seeds(reads)
+        B = len(reads)
+        rows = []
+        for b, (name, _, _) in enumerate(reads):
+            valid = np.concatenate([seeds["valid"][b], seeds["valid"][B + b]])
+            cnt = np.concatenate([seeds["cnt"][b], seeds["cnt"][B + b]])
+            occs = np.concatenate([seeds["occs"][b], seeds["occs"][B + b]])
+            rows.append(seed_csv_row(
+                name, valid, cnt, occs, self.seq_starts,
+                freq_thr=self.cfg.freq_thr if self.cfg.filter_freq else None,
+                chains_skipped=(chains_skipped or [0] * B)[b]))
+        return rows
 
     # liftover: identity for FASTA-only indexes (null lifts, reference
     # src/build_liftidx.cpp:99-148), segment tables for pangenomes.

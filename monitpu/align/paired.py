@@ -275,6 +275,67 @@ class PairedAligner:
                               m1codes, m1rcodes, m2codes, m2rcodes)
 
     # ------------------------------------------------------------------
+    def _host_seeds_pe(self, batch1, batch2):
+        """4-lane seeds ([m1F, m2RC, m2F, m1RC] row blocks) on host."""
+        cfg = self.cfg
+        B, M = len(batch1), cfg.read_pad
+        m1f, m1r, len1, _, _ = self._encode(batch1, M)
+        m2f, m2r, len2, _, _ = self._encode(batch2, M)
+        lanes = jnp.asarray(np.concatenate([m1f, m2r, m2f, m1r]))
+        lensx = jnp.asarray(np.concatenate([len1, len2, len2, len1]))
+        mems = find_mems_batch(self.al.tables, lanes, lensx,
+                               max_mems=cfg.max_mems, min_len=cfg.min_len,
+                               work_per_read=cfg.lce_work or 96)
+        seeds = populate_seeds_batch(self.al.tables, *mems,
+                                     max_occs=cfg.max_occs,
+                                     min_len=cfg.min_len)
+        return {k: np.asarray(v) for k, v in seeds.items()}
+
+    def report_mems_pair_batch(self, batch1, batch2):
+        """--report_mems paired arm (aligner_ksw2.hpp:1126-1180)."""
+        from .memreport import mem_report_lane
+        from .aligner import MATE_RC as RCBIT
+        seeds = self._host_seeds_pe(batch1, batch2)
+        B = len(batch1)
+        records = []
+        for b in range(B):
+            n1, s1, q1 = batch1[b]
+            n2, s2, q2 = batch2[b]
+            rc1 = decode_seq(revcomp_codes(encode_seq(s1)))
+            rc2 = decode_seq(revcomp_codes(encode_seq(s2)))
+            self.stats["pairs"] += 1
+            # lane row blocks: b=m1F, B+b=m2RC, 2B+b=m2F, 3B+b=m1RC
+            recs = mem_report_lane(seeds, b, M1F, n1, s1, q1, rc1,
+                                   self.al.pos_to_ref)
+            recs += mem_report_lane(seeds, B + b, M2RC, n2, s2, q2, rc2,
+                                    self.al.pos_to_ref)
+            recs += mem_report_lane(seeds, 2 * B + b, M2F, n2, s2, q2, rc2,
+                                    self.al.pos_to_ref)
+            recs += mem_report_lane(seeds, 3 * B + b, M1RC, n1, s1, q1, rc1,
+                                    self.al.pos_to_ref)
+            records.extend(recs)
+        return records
+
+    def csv_rows_pair_batch(self, batch1, batch2):
+        """--csv paired arm: one row per mate (csv_m1 / csv_m2)."""
+        from .memreport import seed_csv_row
+        cfg = self.cfg
+        seeds = self._host_seeds_pe(batch1, batch2)
+        B = len(batch1)
+        rows = []
+        thr = cfg.freq_thr if cfg.filter_freq else None
+        for b in range(B):
+            for name, rows_pair in ((batch1[b][0], (b, 3 * B + b)),
+                                    (batch2[b][0], (B + b, 2 * B + b))):
+                r1, r2 = rows_pair
+                valid = np.concatenate([seeds["valid"][r1], seeds["valid"][r2]])
+                cnt = np.concatenate([seeds["cnt"][r1], seeds["cnt"][r2]])
+                occs = np.concatenate([seeds["occs"][r1], seeds["occs"][r2]])
+                rows.append(seed_csv_row(name, valid, cnt, occs,
+                                         self.al.seq_starts, freq_thr=thr))
+        return rows
+
+    # ------------------------------------------------------------------
     def _select_pairs(self, B, host, len1, len2, mean, std):
         cfg = self.cfg
         s1, s2 = host["s1"], host["s2"]

@@ -77,10 +77,17 @@ def _load_aligner(args):
 def cmd_align(args):
     from .align.sam import write_sam_record
     from .io import read_fastq_batches, read_paired_batches
+    from .utils import timers
 
     aligner = _load_aligner(args)
     out = open(args.output, "w") if args.output else sys.stdout
     out.write(aligner.header())
+    csv_fd = None
+    if getattr(args, "csv", None):
+        from .align.memreport import csv_header, write_csv
+        csv_fd = open(args.csv, "w")
+        csv_header(csv_fd)
+    report = getattr(args, "report_mems", False)
     t0 = time.time()
     n = 0
     if args.mate2:
@@ -88,20 +95,36 @@ def cmd_align(args):
         paligner = PairedAligner(aligner)
         for b1, b2 in read_paired_batches(args.mate1, args.mate2,
                                           args.batch_size):
-            for rec in paligner.align_pair_batch(b1, b2):
+            recs = (paligner.report_mems_pair_batch(b1, b2) if report
+                    else paligner.align_pair_batch(b1, b2))
+            for rec in recs:
                 write_sam_record(out, rec)
+            if csv_fd:
+                for row in paligner.csv_rows_pair_batch(b1, b2):
+                    write_csv(csv_fd, row)
             n += len(b1)
             log(f"{n} pairs, {n/(time.time()-t0):.0f} pairs/s")
+        log(f"done: {paligner.stats}")
     else:
         reads_file = args.mate1 or args.pattern
         for batch in read_fastq_batches(reads_file, args.batch_size):
-            for rec in aligner.align_batch(batch):
+            recs = (aligner.report_mems_batch(batch) if report
+                    else aligner.align_batch(batch))
+            for rec in recs:
                 write_sam_record(out, rec)
+            if csv_fd:
+                for row in aligner.csv_rows_batch(
+                        batch, getattr(aligner, "last_chains_skipped", None)):
+                    write_csv(csv_fd, row)
             n += len(batch)
             log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
+        log(f"done: {aligner.stats}")
     if args.output:
         out.close()
-    log(f"done: {aligner.stats}")
+    if csv_fd:
+        csv_fd.close()
+        log(f"wrote {args.csv}")
+    timers.report()
 
 
 def cmd_ms(args):
@@ -270,6 +293,11 @@ def main(argv=None):
     al.add_argument("-x", "--max-dist-x", type=int, default=500)
     al.add_argument("-y", "--max-dist-y", type=int, default=100)
     al.add_argument("-Z", "--min-chain-score", type=int, default=40)
+    al.add_argument("--report-mems", action="store_true", dest="report_mems",
+                    help="write MEM occurrences as SECONDARY records "
+                    "instead of aligning")
+    al.add_argument("--csv", default=None,
+                    help="write per-read MEM statistics CSV to this path")
     al.set_defaults(fn=cmd_align)
 
     ms = sub.add_parser("ms", help="matching statistics")
