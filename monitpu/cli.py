@@ -259,6 +259,36 @@ def cmd_mems(args):
     log(f"wrote {base}.mems")
 
 
+def cmd_split_fa(args):
+    from .utils.tools import split_fa
+    for p in split_fa(args.reference, args.output):
+        log(f"wrote {p}")
+
+
+def cmd_extract(args):
+    from .index import MoniIndex
+    from .utils.tools import extract_text
+    idx = MoniIndex.load(args.index)
+    print(extract_text(idx, args.pos, args.length))
+
+
+def cmd_ra(args):
+    from .index import MoniIndex
+    from .utils.tools import random_access
+    idx = MoniIndex.load(args.index)
+    print(random_access(idx, args.positions))
+
+
+def cmd_visualize(args):
+    from .index import MoniIndex
+    from .utils.tools import visualize_sam
+    idx = MoniIndex.load(args.index)
+    out = open(args.output, "w") if args.output else sys.stdout
+    visualize_sam(idx, args.sam, out)
+    if args.output:
+        out.close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="monitpu",
                                 description="TPU-native pangenome aligner")
@@ -327,6 +357,28 @@ def main(argv=None):
     me.add_argument("-p", "--pattern", required=True)
     me.add_argument("--max-mems", type=int, default=16)
     me.set_defaults(fn=cmd_mems)
+
+    sf = sub.add_parser("split-fa", help="split multi-FASTA per sequence")
+    sf.add_argument("-r", "--reference", required=True)
+    sf.add_argument("-o", "--output", required=True, help="output prefix")
+    sf.set_defaults(fn=cmd_split_fa)
+
+    et = sub.add_parser("extract", help="extract text substring")
+    et.add_argument("-i", "--index", required=True)
+    et.add_argument("-p", "--pos", type=int, required=True)
+    et.add_argument("-l", "--length", type=int, required=True)
+    et.set_defaults(fn=cmd_extract)
+
+    ra = sub.add_parser("ra", help="random-access probe")
+    ra.add_argument("-i", "--index", required=True)
+    ra.add_argument("positions", type=int, nargs="+")
+    ra.set_defaults(fn=cmd_ra)
+
+    vz = sub.add_parser("visualize", help="BLAST-like render of a SAM")
+    vz.add_argument("-i", "--index", required=True)
+    vz.add_argument("-s", "--sam", required=True)
+    vz.add_argument("-o", "--output", default=None)
+    vz.set_defaults(fn=cmd_visualize)
 
     args = p.parse_args(argv)
     args.fn(args)
