@@ -177,6 +177,29 @@ class Aligner:
         self.seq_names = list(index.seq_names)
         self.liftidx = liftidx
         self.stats = {"processed": 0, "aligned": 0}
+        self.mesh = None
+        self._batch_sharding = None
+
+    def enable_mesh(self, n_devices=None):
+        """Data-parallel execution over a device mesh: index tables
+        replicated, read batches sharded along the batch axis (the
+        TPU-native analog of the reference's N alignment pthreads,
+        align_reads_dispatcher.hpp:118-198; see parallel/mesh.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import make_mesh, replicate_tables, READS_AXIS
+        self.mesh = make_mesh(n_devices)
+        self.tables = replicate_tables(self.mesh, self.tables)
+        self._batch_sharding = NamedSharding(self.mesh, P(READS_AXIS))
+        return self.mesh
+
+    def put_batch(self, arr):
+        """jnp array for a [B, ...] read-batch array, sharded if a mesh
+        is enabled (B must be a multiple of the mesh size — the CLI pads
+        ragged final batches)."""
+        a = jnp.asarray(arr)
+        if self._batch_sharding is not None:
+            a = jax.device_put(a, self._batch_sharding)
+        return a
 
     # -- seqidx::index equivalent (include/common/seqidx.hpp:149) --
     def pos_to_ref(self, pos: int):
@@ -224,8 +247,9 @@ class Aligner:
         t_enc.__exit__(None, None, None)
 
         with phase_timer("device dispatch"):
-            dev = _device_pipeline(self.tables, jnp.asarray(fwd),
-                                   jnp.asarray(rc), jnp.asarray(lens), cfg)
+            dev = _device_pipeline(self.tables, self.put_batch(fwd),
+                                   self.put_batch(rc),
+                                   self.put_batch(lens), cfg)
         return dict(reads=reads, dev=dev, fwd=fwd, rc=rc, lens=lens,
                     fcodes=fcodes, rcodes=rcodes)
 

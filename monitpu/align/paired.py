@@ -237,8 +237,8 @@ class PairedAligner:
         m2f, m2r, len2, m2codes, m2rcodes = self._encode(batch2, M)
 
         with phase_timer("pe device pipeline"):
-            lanes = jnp.asarray(np.concatenate([m1f, m2r, m2f, m1r]))
-            lensx = jnp.asarray(np.concatenate([len1, len2, len2, len1]))
+            lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
+            lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
             mp, ml, mi, mc = find_mems_batch(
                 self.al.tables, lanes, lensx, max_mems=cfg.max_mems,
                 min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)

@@ -11,6 +11,7 @@ FASTA+VCF for pangenomes) -> suffix array -> MoniIndex arrays.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -80,8 +81,39 @@ def cmd_align(args):
     from .utils import timers
 
     aligner = _load_aligner(args)
-    out = open(args.output, "w") if args.output else sys.stdout
-    out.write(aligner.header())
+    if getattr(args, "devices", 0) and args.devices > 1:
+        mesh = aligner.enable_mesh(args.devices)
+        log(f"data-parallel mesh: {mesh.shape}")
+
+    # per-batch checkpoint/resume (SURVEY.md §5: alignment has no mid-run
+    # resume in the reference; the sidecar records completed batches)
+    ckpt_path = (args.output + ".ckpt.json") if args.output else None
+    skip_batches = 0
+    resume = bool(getattr(args, "resume", False))
+    if resume and ckpt_path and os.path.exists(ckpt_path):
+        import json
+        skip_batches = json.load(open(ckpt_path)).get("batches_done", 0)
+        log(f"resuming after {skip_batches} completed batches")
+    out = (open(args.output, "a" if skip_batches else "w")
+           if args.output else sys.stdout)
+    if not skip_batches:
+        out.write(aligner.header())
+
+    def checkpoint(batches_done):
+        if ckpt_path:
+            import json
+            with open(ckpt_path + ".tmp", "w") as f:
+                json.dump({"batches_done": batches_done}, f)
+            os.replace(ckpt_path + ".tmp", ckpt_path)
+
+    def pad_batch(batch):
+        # pad ragged final batches so every device keeps a full shard
+        # (and XLA keeps one compiled program); __pad__ records dropped
+        if len(batch) % max(getattr(args, "devices", 1) or 1, 1):
+            need = -len(batch) % args.devices
+            batch = batch + [("__pad__", "A" * 32, "I" * 32)] * need
+        return batch
+
     csv_fd = None
     if getattr(args, "csv", None):
         from .align.memreport import csv_header, write_csv
@@ -90,37 +122,56 @@ def cmd_align(args):
     report = getattr(args, "report_mems", False)
     t0 = time.time()
     n = 0
+    bi = 0
     if args.mate2:
         from .align.paired import PairedAligner
         paligner = PairedAligner(aligner)
         for b1, b2 in read_paired_batches(args.mate1, args.mate2,
                                           args.batch_size):
+            bi += 1
+            if bi <= skip_batches:
+                continue
+            b1, b2 = pad_batch(b1), pad_batch(b2)
             recs = (paligner.report_mems_pair_batch(b1, b2) if report
                     else paligner.align_pair_batch(b1, b2))
             for rec in recs:
-                write_sam_record(out, rec)
+                if rec.qname != "__pad__":
+                    write_sam_record(out, rec)
             if csv_fd:
                 for row in paligner.csv_rows_pair_batch(b1, b2):
-                    write_csv(csv_fd, row)
+                    if row.name != "__pad__":
+                        write_csv(csv_fd, row)
+            out.flush()
+            checkpoint(bi)
             n += len(b1)
             log(f"{n} pairs, {n/(time.time()-t0):.0f} pairs/s")
         log(f"done: {paligner.stats}")
     else:
         reads_file = args.mate1 or args.pattern
         for batch in read_fastq_batches(reads_file, args.batch_size):
+            bi += 1
+            if bi <= skip_batches:
+                continue
+            batch = pad_batch(batch)
             recs = (aligner.report_mems_batch(batch) if report
                     else aligner.align_batch(batch))
             for rec in recs:
-                write_sam_record(out, rec)
+                if rec.qname != "__pad__":
+                    write_sam_record(out, rec)
             if csv_fd:
                 for row in aligner.csv_rows_batch(
                         batch, getattr(aligner, "last_chains_skipped", None)):
-                    write_csv(csv_fd, row)
+                    if row.name != "__pad__":
+                        write_csv(csv_fd, row)
+            out.flush()
+            checkpoint(bi)
             n += len(batch)
             log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
         log(f"done: {aligner.stats}")
     if args.output:
         out.close()
+        if ckpt_path and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
     if csv_fd:
         csv_fd.close()
         log(f"wrote {args.csv}")
@@ -328,6 +379,11 @@ def main(argv=None):
                     "instead of aligning")
     al.add_argument("--csv", default=None,
                     help="write per-read MEM statistics CSV to this path")
+    al.add_argument("-t", "--devices", type=int, default=1,
+                    help="data-parallel device count (reads sharded "
+                    "across the mesh; index replicated)")
+    al.add_argument("--resume", action="store_true",
+                    help="resume from <output>.ckpt.json batch checkpoint")
     al.set_defaults(fn=cmd_align)
 
     ms = sub.add_parser("ms", help="matching statistics")
