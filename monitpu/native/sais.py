@@ -14,7 +14,7 @@ import threading
 import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
-_SRCS = [_HERE / "sais.cpp", _HERE / "swalign.cpp"]
+_SRCS = [_HERE / "sais.cpp", _HERE / "swalign.cpp", _HERE / "ksw2.cpp"]
 _SO = _HERE / "libmonitpu.so"
 _lock = threading.Lock()
 _lib = None
