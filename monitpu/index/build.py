@@ -232,8 +232,23 @@ def _phi_anchors(sa64, isa, lcp64, rows, n, from_starts):
     as q increases toward its successor anchor); see schema.py docstring."""
     z = (sa64[rows] - 1) % n
     # always include n-1 so every query has a successor anchor
-    if not np.any(z == n - 1):
-        z = np.concatenate([z, [n - 1]])
+    z = np.concatenate([z, [n - 1]])
+    # Extra breakpoint around the suffix-0 row j0 = isa[0]: the linear
+    # rule Phi^-1(q-1) = Phi^-1(q) - 1 needs SA[isa[q]+1] > 0 (and
+    # symmetrically Phi needs SA[isa[q]-1] > 0) — it fails on the piece
+    # whose neighbor row holds suffix 0, which is NOT a run boundary in
+    # general. Anchor the top of the piece below that break:
+    #   Phi:      break at q = SA[j0+1]  -> anchor z = SA[j0+1] - 1
+    #   Phi^-1:   break at q = SA[j0-1]  -> anchor z = SA[j0-1] - 1
+    # (Found the hard way: a 4-haplotype index walked occurrences into
+    # occ - n garbage whenever a seed's Phi walk crossed this piece.)
+    j0 = int(isa[0])
+    if from_starts:
+        if j0 + 1 < n:
+            z = np.concatenate([z, [sa64[j0 + 1] - 1]])
+    else:
+        if j0 > 0:
+            z = np.concatenate([z, [sa64[j0 - 1] - 1]])
     z = np.unique(z)  # sorted
     i = isa[z]
     if from_starts:

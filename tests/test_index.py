@@ -102,6 +102,37 @@ def test_phi_phiinv_all_positions(rng):
             assert l == lcp[i + 1], f"phi_inv_lcp({q})"
 
 
+def test_phi_phiinv_all_positions_repetitive(rng):
+    """Repetitive multi-haplotype text: long linear Phi pieces cross the
+    suffix-0 neighbor rows, where the run-boundary anchor set alone is
+    insufficient (the SA[isa[q]±1] == 0 breakpoints; see _phi_anchors).
+    Random text (above) has r ~ n and never exposes this."""
+    base = rng.integers(1, 5, size=900, dtype=np.int8)
+    seqs = []
+    for h in range(4):
+        s = base.copy()
+        p = rng.integers(0, s.size, size=6)
+        s[p] = rng.integers(1, 5, size=p.size)
+        seqs.append(s)
+    idx = build_index(seqs, names=[f"h{i}" for i in range(4)],
+                      already_encoded=True)
+    sa = suffix_array(idx.text).astype(np.int64)
+    n = idx.n
+    isa = np.empty(n, dtype=np.int64)
+    isa[sa] = np.arange(n)
+    lcp = lcp_kasai(idx.text, sa.astype(np.int32))
+    for q in range(n):
+        i = isa[q]
+        if i > 0:
+            p, l = refimpl.phi(idx, q)
+            assert p == sa[i - 1], f"phi({q})"
+            assert l == lcp[i], f"phi_lcp({q})"
+        if i < n - 1:
+            nx, l = refimpl.phi_inv(idx, q)
+            assert nx == sa[i + 1], f"phi_inv({q})"
+            assert l == lcp[i + 1], f"phi_inv_lcp({q})"
+
+
 @pytest.mark.parametrize("sigma,m", [(4, 25), (2, 40)])
 def test_ms_vs_brute(rng, sigma, m):
     for trial in range(8):
