@@ -59,6 +59,18 @@ class AlignConfig:
     read_pad: int = 160         # padded read length bucket
     window: int = 384           # scoring/final target window
     margin: int = 48
+    # post-seed path: "native" = reference-faithful C++ runtime
+    # (chain DP + check_k selection + piecewise extz fill_chain,
+    # native/runtime.cpp) fed by device seeds; "device" = all-on-TPU
+    # fitting-alignment path (approximate scores, fastest compile)
+    postseed: str = "native"
+    secondary_chains: bool = False   # find_chains_secondary (-Z)
+    n_seeds_thr: int = 1000          # per-genome occ filter (-S)
+    filter_seeds: bool = True        # -s disables
+    left_mem_check: bool = True      # -a disables (check_left_MEM)
+    postseed_threads: int = 8
+    pack_seeds_per_read: int = 8     # seed-record transfer budget
+    pack_occs_per_read: int = 48     # occurrence-pool transfer budget
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "B"))
@@ -246,6 +258,25 @@ class Aligner:
             rcodes.append(r)
         t_enc.__exit__(None, None, None)
 
+        if cfg.postseed == "native":
+            from ..ops.occs import pack_seeds
+            with phase_timer("device dispatch"):
+                lanes = jnp.concatenate(
+                    [self.put_batch(fwd), self.put_batch(rc)], axis=0)
+                lens2 = jnp.concatenate([self.put_batch(lens)] * 2, axis=0)
+                mems = find_mems_batch(
+                    self.tables, lanes, lens2, max_mems=cfg.max_mems,
+                    min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
+                seeds = populate_seeds_batch(
+                    self.tables, *mems, max_occs=cfg.max_occs,
+                    min_len=cfg.min_len)
+                # compact for transfer: the dense arrays are ~97% padding
+                # and the device->host link is the bottleneck
+                packed = pack_seeds(seeds, W=cfg.pack_seeds_per_read * B,
+                                    occ_cap=cfg.pack_occs_per_read * B)
+            return dict(reads=reads, seeds=seeds, packed=packed, fwd=fwd,
+                        rc=rc, lens=lens, fcodes=fcodes, rcodes=rcodes)
+
         with phase_timer("device dispatch"):
             dev = _device_pipeline(self.tables, self.put_batch(fwd),
                                    self.put_batch(rc),
@@ -253,8 +284,60 @@ class Aligner:
         return dict(reads=reads, dev=dev, fwd=fwd, rc=rc, lens=lens,
                     fcodes=fcodes, rcodes=rcodes)
 
+    def postseed_config(self):
+        """AlignConfig -> native post-seed runtime config. This is where
+        the reference's scoring/filter flag surface lands: -A/-B/-O/-E
+        via SWParams (incl. the dual-affine gapo2/gape2 used by the
+        pure-gap closed forms), -L ext_len, -S n_seeds_thr."""
+        from .postseed import PostseedConfig
+        cfg = self.cfg
+        return PostseedConfig(
+            min_len=cfg.min_len, check_k=cfg.check_k,
+            region_dist=cfg.region_dist, filter_freq=cfg.filter_freq,
+            freq_thr=cfg.freq_thr, secondary_chains=cfg.secondary_chains,
+            n_seeds_thr=cfg.n_seeds_thr, filter_seeds=cfg.filter_seeds,
+            left_mem_check=cfg.left_mem_check,
+            max_dist_x=cfg.chain.max_dist_x, max_dist_y=cfg.chain.max_dist_y,
+            max_iter=cfg.chain.max_iter, max_pred=cfg.chain.max_pred,
+            min_chain_score=cfg.chain.min_chain_score,
+            min_chain_length=cfg.chain.min_chain_length,
+            smatch=cfg.sw.smatch, smismatch=cfg.sw.smismatch,
+            gapo=cfg.sw.gapo, gape=cfg.sw.gape,
+            gapo2=cfg.sw.gapo2, gape2=cfg.sw.gape2,
+            ext_len=cfg.ext_len, n_threads=cfg.postseed_threads)
+
+    def _complete_native(self, h):
+        """Native post-seed completion: pull the packed seeds (dense
+        fallback when the pack budget overflowed), run the C++ runtime."""
+        from .postseed import postseed_se, pack_seeds_host
+        with phase_timer("device wait"):
+            packed = {k: np.asarray(v) for k, v in h["packed"].items()}
+        if (int(packed["n_valid"]) > packed["row"].shape[0]
+                or int(packed["n_occ"]) > packed["occ"].shape[0]):
+            # budget overflow: re-pack host-side from the dense arrays
+            # (slow path, counted — raise pack_seeds_per_read /
+            # pack_occs_per_read if this fires often)
+            self.stats["seed_pack_overflow"] = (
+                self.stats.get("seed_pack_overflow", 0) + 1)
+            with phase_timer("device wait (dense fallback)"):
+                packed = pack_seeds_host(
+                    {k: np.asarray(v) for k, v in h["seeds"].items()})
+        else:
+            packed["S"] = int(h["seeds"]["len"].shape[1])
+        with phase_timer("native postseed"):
+            records, skipped = postseed_se(
+                self.index, packed, h["fwd"], h["rc"], h["lens"],
+                h["reads"], self.postseed_config(), liftidx=self.liftidx)
+        self.last_chains_skipped = [int(x) for x in skipped]
+        self.stats["processed"] += len(records)
+        self.stats["aligned"] += sum(
+            1 for r in records if not (r.flag & SAM_UNMAPPED))
+        return records
+
     def complete_batch(self, h):
         """Transfer device results, select, finalize, assemble SAM."""
+        if "seeds" in h:
+            return self._complete_native(h)
         cfg = self.cfg
         reads, dev = h["reads"], h["dev"]
         fwd, rc, lens = h["fwd"], h["rc"], h["lens"]

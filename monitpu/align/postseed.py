@@ -1,0 +1,323 @@
+"""Native post-seed runtime binding (single-end).
+
+Hands the device-computed seed arrays (ops/occs.populate_seeds_batch
+output: rows [0,B) = forward lanes, [B,2B) = reverse-complement lanes,
+slots [0,K) parents / [K,2K) left halves / [2K,3K) right halves) to the
+C++ runtime (native/runtime.cpp), which runs the reference-faithful
+post-seed pipeline — freq/per-genome filters, find_chains[_secondary],
+check_k selection with check_left_MEM, piecewise extz chain scoring,
+finalize with MD/NM and liftover — and assembles SamRecords from the
+packed outputs. MAPQ is computed host-side from the returned
+AS/ZS/rlen (mapq.hpp:146-184 port in align/mapq.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+
+import numpy as np
+
+from ..native.sais import _load
+from ..index.alphabet import decode_seq
+from .sam import SamRecord, SAM_REVERSED, SAM_UNMAPPED
+from .mapq import compute_mapq_se_bwa
+
+_OPS = "MID"
+
+
+class SeParams(ctypes.Structure):
+    _pack_ = 8
+    _fields_ = [
+        ("freq_thr", ctypes.c_double),
+        ("G", ctypes.c_int64),
+        ("min_len", ctypes.c_int32),
+        ("check_k", ctypes.c_int32),
+        ("region_dist", ctypes.c_int32),
+        ("filter_freq", ctypes.c_int32),
+        ("left_mem_check", ctypes.c_int32),
+        ("secondary", ctypes.c_int32),
+        ("filter_seeds", ctypes.c_int32),
+        ("n_seeds_thr", ctypes.c_int32),
+        ("max_dist_x", ctypes.c_int32),
+        ("max_dist_y", ctypes.c_int32),
+        ("max_iter", ctypes.c_int32),
+        ("max_pred", ctypes.c_int32),
+        ("min_chain_score", ctypes.c_int32),
+        ("min_chain_length", ctypes.c_int32),
+        ("smatch", ctypes.c_int32),
+        ("smismatch", ctypes.c_int32),
+        ("gapo", ctypes.c_int32),
+        ("gape", ctypes.c_int32),
+        ("gapo2", ctypes.c_int32),
+        ("gape2", ctypes.c_int32),
+        ("ext_len", ctypes.c_int32),
+        ("n_threads", ctypes.c_int32),
+        ("cigar_cap", ctypes.c_int32),
+        ("md_cap", ctypes.c_int32),
+        ("alt_cap", ctypes.c_int32),
+    ]
+
+
+def _configure(lib):
+    if getattr(lib, "_postseed_configured", False):
+        return lib
+    lib.monitpu_postseed_se.restype = ctypes.c_int
+    # pointers + sizes; declared loosely as void*/int64 and kept in call
+    # order — the struct carries the typed config.
+    lib.monitpu_postseed_se.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64] * 2
+        + [ctypes.c_void_p] * 7 + [ctypes.c_int64] * 3
+        + [ctypes.POINTER(SeParams)]
+        + [ctypes.c_void_p] * 23)
+    lib._postseed_configured = True
+    return lib
+
+
+def pack_seeds_host(seeds):
+    """NumPy equivalent of ops/occs.pack_seeds over dense [2B, S, O]
+    seed arrays, exactly sized (no caps) — the overflow fallback path
+    and the entry point for host-computed seeds."""
+    valid = np.asarray(seeds["valid"]).reshape(-1).astype(bool)
+    occs = np.ascontiguousarray(seeds["occs"], np.int32)
+    R, S, O = occs.shape
+    src = np.flatnonzero(valid).astype(np.int64)
+    cnt = np.asarray(seeds["cnt"], np.int32).reshape(-1)[src]
+    off = np.zeros(len(src), np.int32)
+    if len(src):
+        off[1:] = np.cumsum(cnt[:-1])
+    total = int(cnt.sum())
+    occ = np.zeros(max(total, 1), np.int32)
+    flat = occs.reshape(-1, O)
+    for k, (s, c) in enumerate(zip(src, cnt)):
+        occ[off[k]:off[k] + c] = flat[s, :c]
+    take = lambda name: np.ascontiguousarray(
+        np.asarray(seeds[name], np.int32).reshape(-1)[src])
+    return {
+        "row": np.ascontiguousarray((src // S).astype(np.int32)),
+        "slot": np.ascontiguousarray((src % S).astype(np.int32)),
+        "len": take("len"), "idx": take("idx"),
+        "cnt": np.ascontiguousarray(cnt), "off": off, "occ": occ,
+        "n_valid": np.int32(len(src)), "n_occ": np.int32(total),
+        "S": S,
+    }
+
+
+def flatten_liftidx(liftidx):
+    """LiftIndex -> one global sorted segment table (hap_starts,
+    ref_starts, is_ins, seg_ends). Identity sequences contribute a
+    single M segment; None liftidx -> empty arrays (identity lift)."""
+    if liftidx is None:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint8), z
+    hs, rs, ins, se = [], [], [], []
+    starts = np.asarray(liftidx.seq_starts, np.int64)
+    for i, lo in enumerate(liftidx.lifts):
+        if lo is None:
+            hs.append(int(starts[i]))
+            rs.append(int(starts[i]))
+            ins.append(0)
+            se.append(int(starts[i + 1]) if i + 1 < len(starts)
+                      else np.iinfo(np.int64).max // 2)
+        else:
+            hs.extend(lo.hap_starts.tolist())
+            rs.extend(lo.ref_starts.tolist())
+            ins.extend(lo.is_ins.astype(np.uint8).tolist())
+            se.extend(lo.seg_ends.tolist())
+    order = np.argsort(np.asarray(hs, np.int64), kind="stable")
+    return (np.asarray(hs, np.int64)[order], np.asarray(rs, np.int64)[order],
+            np.asarray(ins, np.uint8)[order], np.asarray(se, np.int64)[order])
+
+
+@dataclasses.dataclass(frozen=True)
+class PostseedConfig:
+    """Reference config_t defaults (aligner_ksw2.hpp:84-130 + driver
+    overrides moni.in:766-768)."""
+    min_len: int = 25
+    check_k: int = 5
+    region_dist: int = 10
+    filter_freq: bool = True
+    freq_thr: float = 0.50
+    left_mem_check: bool = True
+    secondary_chains: bool = False
+    filter_seeds: bool = True
+    n_seeds_thr: int = 1000
+    G: int = 2 ** 62
+    max_dist_x: int = 500
+    max_dist_y: int = 100
+    max_iter: int = 10
+    max_pred: int = 5
+    min_chain_score: int = 40
+    min_chain_length: int = 1
+    smatch: int = 2
+    smismatch: int = 4
+    gapo: int = 4
+    gape: int = 2
+    gapo2: int = 13
+    gape2: int = 1
+    ext_len: int = 100
+    n_threads: int = 8
+    cigar_cap: int = 256
+    md_cap: int = 1024
+    alt_cap: int = 64
+
+
+def _params(cfg: PostseedConfig) -> SeParams:
+    p = SeParams()
+    p.freq_thr = cfg.freq_thr
+    p.G = cfg.G
+    p.min_len = cfg.min_len
+    p.check_k = cfg.check_k
+    p.region_dist = cfg.region_dist
+    p.filter_freq = int(cfg.filter_freq)
+    p.left_mem_check = int(cfg.left_mem_check)
+    p.secondary = int(cfg.secondary_chains)
+    p.filter_seeds = int(cfg.filter_seeds)
+    p.n_seeds_thr = cfg.n_seeds_thr
+    p.max_dist_x = cfg.max_dist_x
+    p.max_dist_y = cfg.max_dist_y
+    p.max_iter = cfg.max_iter
+    p.max_pred = cfg.max_pred
+    p.min_chain_score = cfg.min_chain_score
+    p.min_chain_length = cfg.min_chain_length
+    p.smatch = cfg.smatch
+    p.smismatch = cfg.smismatch
+    p.gapo = cfg.gapo
+    p.gape = cfg.gape
+    p.gapo2 = cfg.gapo2
+    p.gape2 = cfg.gape2
+    p.ext_len = cfg.ext_len
+    p.n_threads = cfg.n_threads
+    p.cigar_cap = cfg.cigar_cap
+    p.md_cap = cfg.md_cap
+    p.alt_cap = cfg.alt_cap
+    return p
+
+
+def _decode_cigar(words, n) -> str:
+    if n == 0:
+        return "*"
+    return "".join(f"{int(w) >> 4}{_OPS[int(w) & 0xF]}" for w in words[:n])
+
+
+def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
+                liftidx=None):
+    """Run the native SE post-seed pipeline for one batch.
+
+    seeds: either the dense populate_seeds_batch output ([2B, S(=3K), O]
+    occs + [2B, S] cnt/len/idx/valid; packed host-side here) or an
+    already-packed dict (ops/occs.pack_seeds / pack_seeds_host) with an
+    'S' entry; fwd/rc: int8[B, M] padded read codes; lens: int32[B];
+    reads: the (name, seq, qual) triples. Returns (records, skipped).
+    """
+    lib = _configure(_load())
+    B, M = fwd.shape
+    if "occ" not in seeds:
+        packed = pack_seeds_host(seeds)
+    else:
+        packed = {k: (v if np.isscalar(v) or isinstance(v, (int, np.integer))
+                      else np.ascontiguousarray(v, np.int32))
+                  for k, v in seeds.items()}
+    S = int(packed["S"])
+    K = S // 3
+    n_seeds = int(min(int(packed["n_valid"]), packed["row"].shape[0]))
+
+    text = np.ascontiguousarray(index.text, np.int8)
+    seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
+    nseq = len(index.seq_names)
+    lhs, lrs, lins, lse = flatten_liftidx(liftidx)
+
+    fwd8 = np.ascontiguousarray(fwd, np.int8)
+    rc8 = np.ascontiguousarray(rc, np.int8)
+    lens32 = np.ascontiguousarray(lens, np.int32)
+
+    p = _params(cfg)
+    CC, MC, AC = cfg.cigar_cap, cfg.md_cap, cfg.alt_cap
+    o = {
+        "flag": np.zeros(B, np.int32), "rname": np.zeros(B, np.int32),
+        "pos": np.zeros(B, np.int64), "as": np.zeros(B, np.int32),
+        "zs": np.zeros(B, np.int32), "nm": np.zeros(B, np.int32),
+        "rlen": np.zeros(B, np.int32),
+        "cigar": np.zeros((B, CC), np.uint32),
+        "ncigar": np.zeros(B, np.int32),
+        "md": np.zeros((B, MC), np.int8),
+        "lift_rname": np.zeros(B, np.int32),
+        "lift_pos": np.zeros(B, np.int64),
+        "lift_cigar": np.zeros((B, CC), np.uint32),
+        "lift_ncigar": np.zeros(B, np.int32),
+        "lift_md": np.zeros((B, MC), np.int8),
+        "lift_nm": np.zeros(B, np.int32),
+        "lift_rlen": np.zeros(B, np.int32),
+        "unmapped_lft": np.zeros(B, np.uint8),
+        "alt_rname": np.zeros((B, AC), np.int32),
+        "alt_pos": np.zeros((B, AC), np.int64),
+        "alt_score": np.zeros((B, AC), np.int32),
+        "nalt": np.zeros(B, np.int32),
+        "chains_skipped": np.zeros(B, np.int32),
+    }
+    ptr = lambda a: a.ctypes.data
+    rcode = lib.monitpu_postseed_se(
+        ptr(text), ctypes.c_int64(text.size), ptr(seq_starts),
+        ctypes.c_int32(nseq),
+        ptr(lhs), ptr(lrs), ptr(lins), ptr(lse), ctypes.c_int64(lhs.size),
+        ptr(fwd8), ptr(rc8), ptr(lens32),
+        ctypes.c_int64(B), ctypes.c_int64(M),
+        ptr(packed["row"]), ptr(packed["slot"]), ptr(packed["len"]),
+        ptr(packed["idx"]), ptr(packed["cnt"]), ptr(packed["off"]),
+        ptr(packed["occ"]),
+        ctypes.c_int64(n_seeds), ctypes.c_int64(S), ctypes.c_int64(K),
+        ctypes.byref(p),
+        ptr(o["flag"]), ptr(o["rname"]), ptr(o["pos"]), ptr(o["as"]),
+        ptr(o["zs"]), ptr(o["nm"]), ptr(o["rlen"]), ptr(o["cigar"]),
+        ptr(o["ncigar"]), ptr(o["md"]), ptr(o["lift_rname"]),
+        ptr(o["lift_pos"]), ptr(o["lift_cigar"]), ptr(o["lift_ncigar"]),
+        ptr(o["lift_md"]), ptr(o["lift_nm"]), ptr(o["lift_rlen"]),
+        ptr(o["unmapped_lft"]), ptr(o["alt_rname"]), ptr(o["alt_pos"]),
+        ptr(o["alt_score"]), ptr(o["nalt"]), ptr(o["chains_skipped"]))
+    if rcode != 0:
+        raise RuntimeError(f"monitpu_postseed_se rc={rcode}")
+
+    names = list(index.seq_names)
+    records = []
+    for b, (name, seq, qual) in enumerate(reads):
+        rec = SamRecord(qname=name, seq=seq, qual=qual if qual else "*")
+        nalt = int(o["nalt"][b])
+        for a in range(nalt):
+            rec.alt_haplotypes.append(names[int(o["alt_rname"][b, a])])
+            rec.alt_pos.append(int(o["alt_pos"][b, a]))
+            rec.alt_scores.append(int(o["alt_score"][b, a]))
+        flag = int(o["flag"][b])
+        if flag & SAM_UNMAPPED:
+            rec.flag = SAM_UNMAPPED
+            records.append(rec)
+            continue
+        rec.flag = flag
+        rec.zs = int(o["zs"][b])
+        rec.asc = int(o["as"][b])
+        rec.lift_rname = names[int(o["lift_rname"][b])]
+        rec.lift_pos = int(o["lift_pos"][b])
+        rec.lift_cigar = _decode_cigar(o["lift_cigar"][b],
+                                       int(o["lift_ncigar"][b]))
+        rec.lift_md = bytes(o["lift_md"][b]).split(b"\0", 1)[0].decode()
+        rec.lift_nm = int(o["lift_nm"][b])
+        rec.lift_rlen = int(o["lift_rlen"][b])
+        if o["unmapped_lft"][b]:
+            rec.rname, rec.pos, rec.cigar, rec.rlen = "*", 0, "*", 0
+            rec.unmapped_lft = True
+        else:
+            rec.rname = names[int(o["rname"][b])]
+            rec.pos = int(o["pos"][b])
+            rec.cigar = _decode_cigar(o["cigar"][b], int(o["ncigar"][b]))
+            rec.md = bytes(o["md"][b]).split(b"\0", 1)[0].decode()
+            rec.nm = int(o["nm"][b])
+            rec.rlen = int(o["rlen"][b])
+        if flag & SAM_REVERSED:
+            rec.seq = decode_seq(rc[b, :lens[b]].astype(np.int8))
+            rec.qual = qual[::-1] if qual else "*"
+        rec.mapq = compute_mapq_se_bwa(
+            rec.asc, rec.zs, rec.rlen, int(lens[b]), cfg.min_len,
+            cfg.smatch, cfg.smismatch)
+        records.append(rec)
+    return records, o["chains_skipped"]

@@ -14,7 +14,9 @@ import threading
 import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
-_SRCS = [_HERE / "sais.cpp", _HERE / "swalign.cpp", _HERE / "ksw2.cpp"]
+_SRCS = [_HERE / "sais.cpp", _HERE / "swalign.cpp", _HERE / "ksw2.cpp",
+         _HERE / "runtime.cpp"]
+_HDRS = [_HERE / "extz_core.h"]
 _SO = _HERE / "libmonitpu.so"
 _lock = threading.Lock()
 _lib = None
@@ -28,7 +30,7 @@ def _load():
         if _lib is not None:
             return _lib
         if (not _SO.exists()) or _SO.stat().st_mtime < max(
-                s.stat().st_mtime for s in _SRCS):
+                s.stat().st_mtime for s in _SRCS + _HDRS):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  *map(str, _SRCS), "-o", str(_SO), "-lpthread"],

@@ -39,6 +39,9 @@ class ChainConfig:
     max_dist_x: int = 500
     max_dist_y: int = 100
     max_iter: int = 10
+    max_pred: int = 5         # predecessor pruning (-v); exact in the
+                              # native runtime, subsumed by the fixed
+                              # max_iter window in the device kernel
     min_chain_score: int = 40
     min_chain_length: int = 1
     max_chains: int = 8       # top chains extracted per read

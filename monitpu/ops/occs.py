@@ -177,8 +177,13 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     src2, act2 = _compact(jnp.concatenate([split, split]), W2)
     is_left = src2 < L
     p = jnp.where(is_left, src2, src2 - L)
+    # left-half down start = the parent's LAST ENUMERATED occurrence
+    # (seed_finder.hpp:288: occs.back() after find_MEM_below) — the down
+    # walk's far point if it stepped, else the up walk's far point, else
+    # the start position itself.
+    lower_eff = jnp.where(lower != ptr, lower, upper)
     h_up = jnp.where(is_left, upper[p], ptr[p] + ll[p])
-    h_dn = jnp.where(is_left, lower[p], ptr[p] + ll[p])
+    h_dn = jnp.where(is_left, lower_eff[p], ptr[p] + ll[p])
     h_len = jnp.where(is_left, ll[p], lr[p])
     hocc_w, hcnt_w, _, _ = enumerate_occs(
         tables, h_up, h_dn, h_len, act2, jnp.ones((W2,), bool), max_occs)
@@ -206,4 +211,46 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
         "len": cat1(mlen, jnp.concatenate([ll, lr])),
         "idx": cat1(midx, jnp.concatenate([midx, midx + ll])),
         "valid": cat1(valid, hval) & (seed_cnt > 0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("W", "occ_cap"))
+def pack_seeds(seeds, W, occ_cap):
+    """Compact the dense seed arrays [R(=2B), S, O] into a transfer-
+    friendly ragged layout: one record per VALID seed (sorted by
+    (row, slot)) plus a flat occurrence pool. Cuts the device->host
+    transfer from O(R*S*O) to O(actual seeds + occs) — the dense form
+    is ~97% padding on typical read batches, and the host link is the
+    bottleneck under the TPU tunnel.
+
+    Returns dict(row, slot, len, idx, cnt, off int32[W]; occ
+    int32[occ_cap]; n_valid, n_occ int32 scalars). Slots beyond the
+    valid count have row == R (sentinel). n_valid > W or n_occ >
+    occ_cap signals overflow — callers must fall back to the dense
+    arrays (Aligner._complete_native does, counting the event)."""
+    occs, cnt = seeds["occs"], seeds["cnt"]
+    R, S, O = occs.shape
+    v = seeds["valid"].reshape(-1)
+    src, act = _compact(v, W)
+    cflat = cnt.reshape(-1)
+    cw = jnp.where(act, cflat[src], 0)
+    off = jnp.cumsum(cw) - cw
+    eff = jnp.clip(jnp.minimum(cw, occ_cap - off), 0, None)
+    pos = off[:, None] + jnp.arange(O, dtype=jnp.int32)[None, :]
+    ok = jnp.arange(O)[None, :] < eff[:, None]
+    occ_flat = jnp.zeros((occ_cap + 1,), jnp.int32).at[
+        jnp.where(ok, pos, occ_cap)].set(
+        occs.reshape(-1, O)[src], mode="drop")[:occ_cap]
+    take = lambda name: jnp.where(
+        act, seeds[name].reshape(-1)[src], 0).astype(jnp.int32)
+    return {
+        "row": jnp.where(act, src // S, R).astype(jnp.int32),
+        "slot": (src % S).astype(jnp.int32),
+        "len": take("len"),
+        "idx": take("idx"),
+        "cnt": eff.astype(jnp.int32),
+        "off": off.astype(jnp.int32),
+        "occ": occ_flat,
+        "n_valid": jnp.sum(v.astype(jnp.int32)),
+        "n_occ": jnp.sum(jnp.where(v, cflat, 0)),
     }
