@@ -47,20 +47,45 @@ def cmd_build(args):
         log(f"saved {args.output}.spumoni.npz (threshold-only)")
 
 
+def _parse_gap_pair(s):
+    """'-O 4,13' / '-E 2,1' comma syntax (align_full_ksw2.cpp:207-214):
+    a single value sets both; a pair sets (primary, long-gap)."""
+    parts = str(s).split(",")
+    g1 = int(parts[0])
+    g2 = int(parts[1]) if len(parts) > 1 else g1
+    return g1, g2
+
+
 def _load_aligner(args):
     from .index import MoniIndex
     from .align.aligner import Aligner, AlignConfig
     from .ops.chain import ChainConfig
+    from .ops.sw import SWParams
 
+    gapo, gapo2 = _parse_gap_pair(getattr(args, "gapo", "4,13"))
+    gape, gape2 = _parse_gap_pair(getattr(args, "gape", "2,1"))
     cfg = AlignConfig(
         min_len=args.min_len,
         ext_len=args.ext_len,
         freq_thr=args.freq_thr,
-        filter_freq=args.freq_thr < 1.0,
+        filter_freq=not getattr(args, "freq_dis", False),
+        filter_dir=not getattr(args, "dir_dis", False),
+        dir_thr=getattr(args, "dir_thr", 50.0),
+        filter_seeds=not getattr(args, "seed_dis", False),
+        n_seeds_thr=getattr(args, "seed_thr", 1000),
+        left_mem_check=not getattr(args, "chain_dis", False),
+        find_orphan=not getattr(args, "orphan_dis", False),
+        secondary_chains=getattr(args, "secondary_chains", False),
+        postseed=getattr(args, "extend_path", "native"),
+        sw=SWParams(smatch=getattr(args, "smatch", 2),
+                    smismatch=getattr(args, "smismatch", 4),
+                    gapo=gapo, gape=gape, gapo2=gapo2, gape2=gape2),
         chain=ChainConfig(max_dist_x=args.max_dist_x,
                           max_dist_y=args.max_dist_y,
                           max_iter=args.max_iter,
-                          min_chain_score=args.min_chain_score),
+                          max_pred=getattr(args, "max_pred", 5),
+                          min_chain_score=args.min_chain_score,
+                          min_chain_length=getattr(args, "min_chain_mem", 1)),
     )
     t0 = time.time()
     idx = MoniIndex.load(args.index)
@@ -368,12 +393,39 @@ def main(argv=None):
     al.add_argument("-1", "--mate1", default=None)
     al.add_argument("-2", "--mate2", default=None)
     al.add_argument("-p", "--pattern", default=None, help="single-end reads")
+    # flag surface mirrors the reference driver (moni.in:740-775)
     al.add_argument("-L", "--ext-len", type=int, default=100)
-    al.add_argument("-F", "--freq-thr", type=float, default=0.5)
     al.add_argument("-w", "--max-iter", type=int, default=10)
+    al.add_argument("-v", "--max-pred", type=int, default=5)
     al.add_argument("-x", "--max-dist-x", type=int, default=500)
     al.add_argument("-y", "--max-dist-y", type=int, default=100)
-    al.add_argument("-Z", "--min-chain-score", type=int, default=40)
+    al.add_argument("-k", "--min-chain-mem", type=int, default=1)
+    al.add_argument("-j", "--min-chain-score", type=int, default=40)
+    al.add_argument("-Z", "--secondary-chains", action="store_true",
+                    help="dual-lane secondary chain DP (chain.hpp:442)")
+    al.add_argument("-A", "--smatch", type=int, default=2)
+    al.add_argument("-B", "--smismatch", type=int, default=4)
+    al.add_argument("-O", "--gapo", default="4,13",
+                    help="gap open penalty (pair: primary,long-gap)")
+    al.add_argument("-E", "--gape", default="2,1",
+                    help="gap extension penalty (pair)")
+    al.add_argument("-d", "--dir-dis", action="store_true",
+                    help="disable direction filtering")
+    al.add_argument("-D", "--dir-thr", type=float, default=50.0)
+    al.add_argument("-s", "--seed-dis", action="store_true",
+                    help="disable per-genome seed occurrence filtering")
+    al.add_argument("-S", "--seed-thr", type=int, default=1000)
+    al.add_argument("-f", "--freq-dis", action="store_true",
+                    help="disable frequency filtering")
+    al.add_argument("-F", "--freq-thr", type=float, default=0.5)
+    al.add_argument("-a", "--chain-dis", action="store_true",
+                    help="disable the check_left_MEM chain heuristic")
+    al.add_argument("-u", "--orphan-dis", action="store_true",
+                    help="disable orphan recovery (paired-end)")
+    al.add_argument("--extend-path", choices=["native", "device"],
+                    default="native",
+                    help="post-seed path: reference-faithful native "
+                         "runtime (default) or all-on-TPU fitting path")
     al.add_argument("--report-mems", action="store_true", dest="report_mems",
                     help="write MEM occurrences as SECONDARY records "
                     "instead of aligning")
