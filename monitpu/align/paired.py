@@ -228,7 +228,96 @@ class PairedAligner:
             rcc.append(r)
         return fwd, rc, lens, fc, rcc
 
+    # ------------------------------------------------------------------
+    # native post-seed path: device seed stage (4 lanes) + the C++
+    # reference-faithful PE runtime (native/runtime.cpp)
+    # ------------------------------------------------------------------
+    def submit_pair_batch(self, batch1, batch2):
+        """Encode + dispatch the 4-lane device seed stage (async)."""
+        from ..ops.occs import pack_seeds
+        cfg = self.cfg
+        al = self.al
+        B, M = len(batch1), cfg.read_pad
+        m1f, m1r, len1, _, _ = self._encode(batch1, M)
+        m2f, m2r, len2, _, _ = self._encode(batch2, M)
+        with phase_timer("pe device dispatch"):
+            lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
+            lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
+            mems = find_mems_batch(al.tables, lanes, lensx,
+                                   max_mems=cfg.max_mems,
+                                   min_len=cfg.min_len,
+                                   work_per_read=cfg.lce_work or 96)
+            seeds = populate_seeds_batch(al.tables, *mems,
+                                         max_occs=cfg.max_occs,
+                                         min_len=cfg.min_len)
+            packed = pack_seeds(seeds, W=2 * cfg.pack_seeds_per_read * B,
+                                occ_cap=2 * cfg.pack_occs_per_read * B)
+        return dict(batch1=batch1, batch2=batch2, seeds=seeds,
+                    packed=packed, m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
+                    len1=len1, len2=len2)
+
+    def _pull_packed(self, h):
+        from ..align.postseed import pack_seeds_host
+        with phase_timer("pe device wait"):
+            packed = {k: np.asarray(v) for k, v in h["packed"].items()}
+        if (int(packed["n_valid"]) > packed["row"].shape[0]
+                or int(packed["n_occ"]) > packed["occ"].shape[0]):
+            self.stats["seed_pack_overflow"] = (
+                self.stats.get("seed_pack_overflow", 0) + 1)
+            packed = pack_seeds_host(
+                {k: np.asarray(v) for k, v in h["seeds"].items()})
+        else:
+            packed["S"] = int(h["seeds"]["len"].shape[1])
+        return packed
+
+    def _pe_kwargs(self):
+        cfg = self.cfg
+        return dict(filter_dir=cfg.filter_dir, dir_thr=cfg.dir_thr,
+                    find_orphan=cfg.find_orphan,
+                    ins_mean=self.ins.mean, ins_std=self.ins.std_dev)
+
+    def learn_pair_batch(self, batch1, batch2, handle=None):
+        """learn_fragment_model over one batch (aligner_ksw2.hpp:816-885):
+        score-only PE runs gate high-confidence unique pairs into the
+        Welford accumulator. Returns True when the model is complete."""
+        from ..align.postseed import postseed_pe
+        h = handle or self.submit_pair_batch(batch1, batch2)
+        packed = self._pull_packed(h)
+        _, _, info = postseed_pe(
+            self.al.index, packed, h["m1f"], h["m1r"], h["m2f"], h["m2r"],
+            h["len1"], h["len2"], batch1, batch2,
+            self.al.postseed_config(), liftidx=self.al.liftidx,
+            finalize=False, **self._pe_kwargs())
+        ok = info["learn_ok"].astype(bool)
+        self.ins.add_batch(info["learn_dist"][ok].tolist())
+        return self.ins.complete
+
+    def complete_pair_batch(self, h):
+        from ..align.postseed import postseed_pe
+        batch1, batch2 = h["batch1"], h["batch2"]
+        packed = self._pull_packed(h)
+        with phase_timer("pe native postseed"):
+            recs1, recs2, info = postseed_pe(
+                self.al.index, packed, h["m1f"], h["m1r"], h["m2f"],
+                h["m2r"], h["len1"], h["len2"], batch1, batch2,
+                self.al.postseed_config(), liftidx=self.al.liftidx,
+                finalize=True, **self._pe_kwargs())
+        self.stats["pairs"] += len(batch1)
+        self.stats["paired_aligned"] += int(info["aligned"].sum())
+        self.stats["orphan_recovered"] += int(info["orphan_rec"].sum())
+        records = []
+        for r1, r2 in zip(recs1, recs2):
+            records.append(r1)
+            records.append(r2)
+        return records
+
     def align_pair_batch(self, batch1, batch2):
+        if self.cfg.postseed == "native":
+            return self.complete_pair_batch(
+                self.submit_pair_batch(batch1, batch2))
+        return self._align_pair_batch_device(batch1, batch2)
+
+    def _align_pair_batch_device(self, batch1, batch2):
         cfg = self.cfg
         al = self.al
         B = len(batch1)

@@ -196,6 +196,35 @@ def _params(cfg: PostseedConfig) -> SeParams:
     return p
 
 
+class PeParams(ctypes.Structure):
+    _pack_ = 8
+    _fields_ = [
+        ("se", SeParams),
+        ("dir_thr", ctypes.c_double),
+        ("ins_mean", ctypes.c_double),
+        ("ins_std", ctypes.c_double),
+        ("filter_dir", ctypes.c_int32),
+        ("find_orphan", ctypes.c_int32),
+        ("finalize", ctypes.c_int32),
+        ("learn_gap_thr", ctypes.c_int32),
+    ]
+
+
+def _configure_pe(lib):
+    if getattr(lib, "_postseed_pe_configured", False):
+        return lib
+    lib.monitpu_postseed_pe.restype = ctypes.c_int
+    lib.monitpu_postseed_pe.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 6 + [ctypes.c_int64] * 2
+        + [ctypes.c_void_p] * 7 + [ctypes.c_int64] * 3
+        + [ctypes.POINTER(PeParams)]
+        + [ctypes.c_void_p] * 32)
+    lib._postseed_pe_configured = True
+    return lib
+
+
 def _decode_cigar(words, n) -> str:
     if n == 0:
         return "*"
@@ -222,7 +251,8 @@ def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
                   for k, v in seeds.items()}
     S = int(packed["S"])
     K = S // 3
-    n_seeds = int(min(int(packed["n_valid"]), packed["row"].shape[0]))
+    n_seeds = min(int(np.ravel(packed["n_valid"])[0]),
+                  packed["row"].shape[0])
 
     text = np.ascontiguousarray(index.text, np.int8)
     seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
@@ -321,3 +351,164 @@ def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
             cfg.smatch, cfg.smismatch)
         records.append(rec)
     return records, o["chains_skipped"]
+
+
+def postseed_pe(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
+                batch1, batch2, cfg: PostseedConfig, liftidx=None,
+                filter_dir=True, dir_thr=50.0, find_orphan=True,
+                ins_mean=0.0, ins_std=0.0, finalize=True,
+                learn_gap_thr=0):
+    """Run the native PE post-seed pipeline for one batch.
+
+    seeds: packed (ops/occs.pack_seeds with 'S') or dense 4-lane arrays
+    ([4B, S, O]; rows [m1F, m2RC, m2F, m1RC] x B). With finalize=False
+    only the learning outputs are meaningful (learn_ok/learn_dist per
+    pair, the learn_fragment_model gate of aligner_ksw2.hpp:816-885).
+    Returns (records_m1, records_m2, info dict)."""
+    lib = _configure_pe(_configure(_load()))
+    B, M = m1f.shape
+    if "occ" not in seeds:
+        packed = pack_seeds_host(seeds)
+    else:
+        packed = {k: (v if np.isscalar(v) or isinstance(v, (int, np.integer))
+                      else np.ascontiguousarray(v, np.int32))
+                  for k, v in seeds.items()}
+    S = int(packed["S"])
+    K = S // 3
+    n_seeds = min(int(np.ravel(packed["n_valid"])[0]),
+                  packed["row"].shape[0])
+
+    text = np.ascontiguousarray(index.text, np.int8)
+    seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
+    nseq = len(index.seq_names)
+    lhs, lrs, lins, lse = flatten_liftidx(liftidx)
+
+    p = PeParams()
+    p.se = _params(cfg)
+    p.dir_thr = dir_thr
+    p.ins_mean = ins_mean
+    p.ins_std = ins_std
+    p.filter_dir = int(filter_dir)
+    p.find_orphan = int(find_orphan)
+    p.finalize = int(finalize)
+    p.learn_gap_thr = learn_gap_thr
+
+    CC, MC, AC = cfg.cigar_cap, cfg.md_cap, cfg.alt_cap
+    R = 2 * B
+    o = {
+        "flag": np.zeros(R, np.int32), "rname": np.full(R, -1, np.int32),
+        "pos": np.zeros(R, np.int64), "as": np.zeros(R, np.int32),
+        "zs": np.zeros(R, np.int32), "nm": np.zeros(R, np.int32),
+        "rlen": np.zeros(R, np.int32),
+        "cigar": np.zeros((R, CC), np.uint32),
+        "ncigar": np.zeros(R, np.int32),
+        "md": np.zeros((R, MC), np.int8),
+        "lift_rname": np.full(R, -1, np.int32),
+        "lift_pos": np.zeros(R, np.int64),
+        "lift_cigar": np.zeros((R, CC), np.uint32),
+        "lift_ncigar": np.zeros(R, np.int32),
+        "lift_md": np.zeros((R, MC), np.int8),
+        "lift_nm": np.zeros(R, np.int32),
+        "lift_rlen": np.zeros(R, np.int32),
+        "unmapped_lft": np.zeros(R, np.uint8),
+        "alt_rname": np.zeros((R, AC), np.int32),
+        "alt_pos": np.zeros((R, AC), np.int64),
+        "alt_score": np.zeros((R, AC), np.int32),
+        "nalt": np.zeros(R, np.int32),
+        "chains_skipped": np.zeros(R, np.int32),
+        "mapq": np.zeros(R, np.int32),
+        "pnext": np.zeros(R, np.int64),
+        "tlen": np.zeros(R, np.int64),
+        "strand": np.zeros(R, np.int8),
+        "aligned": np.zeros(B, np.uint8),
+        "chained": np.zeros(B, np.uint8),
+        "orphan_rec": np.zeros(B, np.uint8),
+        "learn_ok": np.zeros(B, np.uint8),
+        "learn_dist": np.zeros(B, np.int64),
+    }
+    m1f8 = np.ascontiguousarray(m1f, np.int8)
+    m1r8 = np.ascontiguousarray(m1r, np.int8)
+    m2f8 = np.ascontiguousarray(m2f, np.int8)
+    m2r8 = np.ascontiguousarray(m2r, np.int8)
+    l1 = np.ascontiguousarray(len1, np.int32)
+    l2 = np.ascontiguousarray(len2, np.int32)
+    ptr = lambda a: a.ctypes.data
+    rcode = lib.monitpu_postseed_pe(
+        ptr(text), ctypes.c_int64(text.size), ptr(seq_starts),
+        ctypes.c_int32(nseq),
+        ptr(lhs), ptr(lrs), ptr(lins), ptr(lse), ctypes.c_int64(lhs.size),
+        ptr(m1f8), ptr(m1r8), ptr(m2f8), ptr(m2r8), ptr(l1), ptr(l2),
+        ctypes.c_int64(B), ctypes.c_int64(M),
+        ptr(packed["row"]), ptr(packed["slot"]), ptr(packed["len"]),
+        ptr(packed["idx"]), ptr(packed["cnt"]), ptr(packed["off"]),
+        ptr(packed["occ"]),
+        ctypes.c_int64(n_seeds), ctypes.c_int64(S), ctypes.c_int64(K),
+        ctypes.byref(p),
+        ptr(o["flag"]), ptr(o["rname"]), ptr(o["pos"]), ptr(o["as"]),
+        ptr(o["zs"]), ptr(o["nm"]), ptr(o["rlen"]), ptr(o["cigar"]),
+        ptr(o["ncigar"]), ptr(o["md"]), ptr(o["lift_rname"]),
+        ptr(o["lift_pos"]), ptr(o["lift_cigar"]), ptr(o["lift_ncigar"]),
+        ptr(o["lift_md"]), ptr(o["lift_nm"]), ptr(o["lift_rlen"]),
+        ptr(o["unmapped_lft"]), ptr(o["alt_rname"]), ptr(o["alt_pos"]),
+        ptr(o["alt_score"]), ptr(o["nalt"]), ptr(o["chains_skipped"]),
+        ptr(o["mapq"]), ptr(o["pnext"]), ptr(o["tlen"]), ptr(o["strand"]),
+        ptr(o["aligned"]), ptr(o["chained"]), ptr(o["orphan_rec"]),
+        ptr(o["learn_ok"]), ptr(o["learn_dist"]))
+    if rcode != 0:
+        raise RuntimeError(f"monitpu_postseed_pe rc={rcode}")
+    info = {k: o[k] for k in ("aligned", "chained", "orphan_rec",
+                              "learn_ok", "learn_dist")}
+    if not finalize:
+        return None, None, info
+
+    names = list(index.seq_names)
+
+    def build(row, name, seq, qual, flip):
+        rec = SamRecord(qname=name, seq=seq, qual=qual if qual else "*",
+                        rnext="=")
+        rec.flag = int(o["flag"][row])
+        rec.rname = (names[int(o["rname"][row])]
+                     if o["rname"][row] >= 0 else "*")
+        rec.pos = int(o["pos"][row])
+        rec.mapq = int(o["mapq"][row])
+        rec.pnext = int(o["pnext"][row])
+        rec.tlen = int(o["tlen"][row])
+        rec.asc = int(o["as"][row])
+        rec.zs = int(o["zs"][row])
+        rec.nm = int(o["nm"][row])
+        rec.rlen = int(o["rlen"][row])
+        rec.cigar = _decode_cigar(o["cigar"][row], int(o["ncigar"][row]))
+        rec.md = bytes(o["md"][row]).split(b"\0", 1)[0].decode()
+        if o["lift_rname"][row] >= 0:
+            rec.lift_rname = names[int(o["lift_rname"][row])]
+            rec.lift_pos = int(o["lift_pos"][row])
+            rec.lift_cigar = _decode_cigar(o["lift_cigar"][row],
+                                           int(o["lift_ncigar"][row]))
+            rec.lift_md = bytes(o["lift_md"][row]).split(b"\0", 1)[0] \
+                .decode()
+            rec.lift_nm = int(o["lift_nm"][row])
+            rec.lift_rlen = int(o["lift_rlen"][row])
+        rec.unmapped_lft = bool(o["unmapped_lft"][row])
+        for a in range(int(o["nalt"][row])):
+            rec.alt_haplotypes.append(names[int(o["alt_rname"][row, a])])
+            rec.alt_pos.append(int(o["alt_pos"][row, a]))
+            rec.alt_scores.append(int(o["alt_score"][row, a]))
+        if flip:
+            rec.seq = decode_seq(
+                (m1r if row < B else m2r)[row % B, :(len1 if row < B
+                                                     else len2)[row % B]]
+                .astype(np.int8))
+            rec.qual = qual[::-1] if qual else "*"
+        return rec
+
+    recs1, recs2 = [], []
+    for b in range(B):
+        n1, s1, q1 = batch1[b]
+        n2, s2, q2 = batch2[b]
+        qname = n1[:-2] if n1.endswith(("/1", "/2")) else n1
+        strand = int(o["strand"][b])
+        # sam->read is the strand-applied mate (aligner_ksw2.hpp:2203):
+        # m1 flipped when strand == 1, m2 flipped when strand == 0
+        recs1.append(build(b, qname, s1, q1, strand == 1))
+        recs2.append(build(B + b, qname, s2, q2, strand == 0))
+    return recs1, recs2, info

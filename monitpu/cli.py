@@ -151,12 +151,35 @@ def cmd_align(args):
     if args.mate2:
         from .align.paired import PairedAligner
         paligner = PairedAligner(aligner)
-        for b1, b2 in read_paired_batches(args.mate1, args.mate2,
-                                          args.batch_size):
+        batches = read_paired_batches(args.mate1, args.mate2,
+                                      args.batch_size)
+        native = (getattr(aligner.cfg, "postseed", "device") == "native"
+                  and not report)
+        learned = []
+        if native:
+            # learning phase (mirrors mt_align_worker,
+            # align_reads_dispatcher.hpp:159-183): buffer batches while
+            # the insert model learns, then align them with the final
+            # model before streaming the rest
+            for b1, b2 in batches:
+                b1, b2 = pad_batch(b1), pad_batch(b2)
+                learned.append((b1, b2))
+                if paligner.learn_pair_batch(b1, b2):
+                    break
+            log(f"insert model: n={paligner.ins.count} "
+                f"mean={paligner.ins.mean:.1f} "
+                f"std={paligner.ins.std_dev:.2f}")
+
+        def pe_batches():
+            for p in learned:
+                yield p
+            for b1, b2 in batches:
+                yield pad_batch(b1), pad_batch(b2)
+
+        for b1, b2 in pe_batches():
             bi += 1
             if bi <= skip_batches:
                 continue
-            b1, b2 = pad_batch(b1), pad_batch(b2)
             recs = (paligner.report_mems_pair_batch(b1, b2) if report
                     else paligner.align_pair_batch(b1, b2))
             for rec in recs:

@@ -39,6 +39,7 @@ namespace {
 
 using monitpu::ExtzOut;
 using monitpu::extz_lane;
+using monitpu::nscore;
 using monitpu::FLAG_SCORE_ONLY;
 using monitpu::FLAG_EXTZ_ONLY;
 
@@ -1055,6 +1056,900 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
   }
 }
 
+// ======================== paired-end runtime =========================
+// Reference: the PE align path (aligner_ksw2.hpp:1000-1326), the
+// paired selection (get_best_scores :1329-1431, check_paired_left_MEM
+// :1471-1533), paired_chain_score (:2115-2308), orphan recovery
+// (:1536-1658, 2330-2460) and fill_orphan (:2566-2711). Field-for-
+// field faithful to the Python PE oracle (monitpu/oracle/pe.py).
+
+#pragma pack(push, 8)
+struct PeParams {
+  SeParams se;
+  double dir_thr;
+  double ins_mean, ins_std;
+  int32_t filter_dir, find_orphan, finalize, learn_gap_thr;
+};
+#pragma pack(pop)
+
+struct ScoreT {
+  int64_t score = 0;
+  int64_t pos = 0;
+  int64_t lft = 0;
+  bool unmapped_lft = false;
+};
+
+struct PairedScore {
+  int64_t tot = 0;
+  int64_t dist = 0;
+  ScoreT m1, m2;
+  int32_t chain_i = 0;
+  bool paired = false;
+  int64_t win_start = 0, win_end = 0;  // orphan search window
+};
+
+// klib ksw_align-style local SW: best cell (first max in row-major
+// scan) + symmetric reverse pass for the start (oracle/pe.py).
+struct LocalHit {
+  int32_t score = 0, qb = 0, qe = 0, tb = 0, te = 0;
+};
+
+void local_fwd(const int8_t* q, int32_t Q, const int8_t* t, int32_t T,
+               int32_t sm, int32_t sx, int32_t go, int32_t ge,
+               std::vector<int32_t>& H, std::vector<int32_t>& E,
+               int32_t* best, int32_t* bi, int32_t* bj) {
+  H.assign(T + 1, 0);
+  E.assign(T + 1, 0);
+  *best = 0;
+  *bi = *bj = -1;
+  for (int32_t i = 0; i < Q; ++i) {
+    int32_t hd = 0, F = 0, hl = 0;
+    for (int32_t j = 1; j <= T; ++j) {
+      int32_t e = std::max(E[j] - ge, H[j] - go - ge);
+      F = std::max(F - ge, hl - go - ge);
+      int32_t h = std::max(0, hd + nscore(q[i], t[j - 1], sm, sx));
+      h = std::max(h, std::max(e, F));
+      E[j] = e;
+      hd = H[j];
+      H[j] = h;
+      hl = h;
+      if (h > *best) {
+        *best = h;
+        *bi = i;
+        *bj = j - 1;
+      }
+    }
+  }
+}
+
+LocalHit local_align(const Ctx& c, Scratch& s, const int8_t* q, int32_t Q,
+                     const int8_t* t, int32_t T) {
+  const SeParams& p = *c.p;
+  LocalHit r;
+  int32_t best, bi, bj;
+  local_fwd(q, Q, t, T, p.smatch, p.smismatch, p.gapo, p.gape, s.H, s.F,
+            &best, &bi, &bj);
+  if (best <= 0) return r;
+  r.score = best;
+  r.qe = bi;
+  r.te = bj;
+  // reverse pass on the reversed prefixes
+  std::vector<int8_t> qr(q, q + bi + 1), tr(t, t + bj + 1);
+  std::reverse(qr.begin(), qr.end());
+  std::reverse(tr.begin(), tr.end());
+  int32_t b2, ri, rj;
+  local_fwd(qr.data(), bi + 1, tr.data(), bj + 1, p.smatch, p.smismatch,
+            p.gapo, p.gape, s.H, s.F, &b2, &ri, &rj);
+  r.qb = r.qe - ri;
+  r.tb = r.te - rj;
+  return r;
+}
+
+struct PeCtx {
+  const Ctx* c;
+  const PeParams* p;
+};
+
+// mems for one pair: lanes rows [m1F=b, m2RC=B+b, m2F=2B+b, m1RC=3B+b];
+// mate codes 0/3/1/2, rpos offsets 0/len1/0/len2; order + direction
+// filter per aligner_ksw2.hpp:1006-1102.
+void build_mems_pe(const Ctx& c, const PeParams& pp, const SeedArrays& sd,
+                   int64_t B, int64_t b, int32_t len1, int32_t len2,
+                   std::vector<Mem>& mems, Scratch& s) {
+  mems.clear();
+  const SeParams& p = *c.p;
+  struct LaneDef {
+    int64_t row;
+    int32_t mate, off;
+  };
+  // filter_dir order: dir1 = m1F, m2RC; dir2 = m2F, m1RC
+  // no-filter order: m1F, m1RC, m2F, m2RC (:1106-1109)
+  LaneDef order_dir[4] = {{b, 0, 0},
+                          {B + b, 3, len1},
+                          {2 * B + b, 1, 0},
+                          {3 * B + b, 2, len2}};
+  LaneDef order_nod[4] = {{b, 0, 0},
+                          {3 * B + b, 2, len2},
+                          {2 * B + b, 1, 0},
+                          {B + b, 3, len1}};
+  LaneDef* lanes = pp.filter_dir ? order_dir : order_nod;
+
+  s.slotmap.assign(4 * sd.S, -1);
+  for (int l = 0; l < 4; ++l) {
+    int64_t r = lanes[l].row;
+    for (int64_t k = sd.rowstart[r]; k < sd.rowstart[r + 1]; ++k)
+      s.slotmap[l * sd.S + sd.slot[k]] = int32_t(k);
+  }
+  auto add_seed = [&](int lane, int64_t slot) {
+    int32_t k = s.slotmap[lane * sd.S + slot];
+    if (k < 0) return false;
+    Mem m;
+    m.len = sd.len[k];
+    m.idx = sd.idx[k];
+    m.mate = lanes[lane].mate;
+    m.rpos = int64_t(lanes[lane].off) + m.idx + m.len - 1;
+    int32_t cnt = sd.cnt[k];
+    const int32_t* o = sd.occ + sd.off[k];
+    if (cnt <= 0) return false;
+    m.pos = o[0];
+    if (p.filter_seeds) {
+      s.genome_cnt.assign(c.nseq, 0);
+      for (int32_t j = 0; j < cnt; ++j) {
+        int32_t g = seq_of(c, o[j]);
+        if (j > 0 && ++s.genome_cnt[g] > p.n_seeds_thr) continue;
+        if (j == 0) ++s.genome_cnt[g];
+        m.occs.push_back(o[j]);
+      }
+    } else {
+      m.occs.assign(o, o + cnt);
+    }
+    if (m.occs.empty()) return false;
+    mems.push_back(std::move(m));
+    return true;
+  };
+  std::vector<std::pair<int, int32_t>> parents;  // (lane, slot)
+  int32_t n_dir1 = 0;
+  for (int l = 0; l < 4; ++l) {
+    for (int64_t i = 0; i < sd.K; ++i)
+      if (add_seed(l, i)) parents.push_back({l, int32_t(i)});
+    if (l == 1) n_dir1 = int32_t(mems.size());
+  }
+  for (const auto& [l, i] : parents) {
+    add_seed(l, sd.K + i);
+    add_seed(l, 2 * sd.K + i);
+  }
+  if (pp.filter_dir) {
+    // direction decision (with the reference's dir2-stats-include-
+    // halves quirk, :1049-1061)
+    double avg1 = 0, avg2 = 0;
+    int32_t n1 = 0;
+    for (int32_t i = 0; i < n_dir1; ++i) avg1 += mems[i].len;
+    // count dir2 PARENTS only for the divisor
+    int32_t n2p = 0;
+    for (size_t i = n_dir1; i < mems.size(); ++i) avg2 += mems[i].len;
+    for (const auto& [l, _] : parents)
+      if (l >= 2) ++n2p;
+    n1 = n_dir1;
+    if (n1 > 0) avg1 /= n1;
+    if (n2p > 0) avg2 /= n2p;
+    if (avg1 > avg2 && (avg1 - avg2) > pp.dir_thr)
+      mems.erase(mems.begin() + n_dir1, mems.end());
+    if (avg2 > avg1 && (avg2 - avg1) > pp.dir_thr)
+      mems.erase(mems.begin(), mems.begin() + n_dir1);
+  }
+  if (p.filter_freq) seed_freq_filter(mems, p.freq_thr);
+}
+
+int32_t strand_of(const Chain& ch) {
+  int32_t m = ch.mate;
+  if (m == 0 || ((m & 2) && (m & 1))) return 0;
+  return 1;
+}
+
+int64_t ins_tot(const PeParams& pp, int64_t s1, int64_t s2, int64_t d) {
+  double ns = 0.0;
+  if (pp.ins_std > 0.0) ns = (double(d) - pp.ins_mean) / pp.ins_std;
+  int64_t tot = int64_t(double(s1) + double(s2) +
+                        .721 * std::log(2. * std::erfc(std::fabs(ns) *
+                                                       M_SQRT1_2)) *
+                            pp.se.smatch +
+                        .499);
+  return tot < 0 ? 0 : tot;
+}
+
+struct PeRead {
+  const int8_t *m1f, *m1r, *m2f, *m2r;
+  int32_t len1, len2;
+  int64_t min1, min2, min_score;
+};
+
+void split_mates(const std::vector<Mem>& mems,
+                 const std::vector<Anchor>& anchors, const Chain& ch,
+                 std::vector<Anchor>& a1, std::vector<Anchor>& a2,
+                 int64_t* lm_pos, int64_t* rm_pos) {
+  a1.clear();
+  a2.clear();
+  *lm_pos = INT64_MAX;
+  *rm_pos = 0;
+  for (auto it = ch.anchors.rbegin(); it != ch.anchors.rend(); ++it) {
+    const Anchor& a = anchors[*it];
+    const Mem& mem = mems[a.mem_i];
+    int64_t occ = mem.occs[a.occ_i];
+    *rm_pos = std::max(*rm_pos, occ + mem.len);
+    *lm_pos = std::min(*lm_pos, occ);
+    if ((mem.mate & 1) == 0)
+      a1.push_back(a);
+    else
+      a2.push_back(a);
+  }
+}
+
+struct PePair {
+  PairedScore score;
+  FillOut fin1, fin2;
+  bool have_fin1 = false, have_fin2 = false;
+  int orphan_mate = 0;  // 1/2 = that mate was filled by fill_orphan
+};
+
+void pe_chain_score(const Ctx& c, const PeParams& pp, Scratch& s,
+                    const std::vector<Mem>& mems,
+                    const std::vector<Anchor>& anchors, const Chain& ch,
+                    const PeRead& rd, int32_t chain_i, bool score_only,
+                    PePair* out) {
+  out->score = PairedScore();
+  out->score.chain_i = chain_i;
+  out->have_fin1 = out->have_fin2 = false;
+  if (!ch.paired) return;
+  out->score.paired = true;
+  int32_t strand = strand_of(ch);
+  const int8_t* mate1 = strand ? rd.m1r : rd.m1f;
+  const int8_t* mate2 = strand ? rd.m2f : rd.m2r;
+  std::vector<Anchor> a1, a2;
+  int64_t lm, rm;
+  split_mates(mems, anchors, ch, a1, a2, &lm, &rm);
+  FillOut f1, f2;
+  chain_score(c, s, mems, a1, mate1, rd.len1, rd.min1, score_only, &f1);
+  chain_score(c, s, mems, a2, mate2, rd.len2, rd.min2, score_only, &f2);
+  out->score.m1 = {f1.score, f1.pos, lift_pos(c, f1.pos), f1.unmapped_lft};
+  out->score.m2 = {f2.score, f2.pos, lift_pos(c, f2.pos), f2.unmapped_lft};
+  out->score.dist = std::llabs(f2.pos - (f1.pos + rd.len1));
+  out->score.tot =
+      ins_tot(pp, f1.score, f2.score, out->score.dist);
+  if (!score_only) {
+    out->fin1 = std::move(f1);
+    out->fin2 = std::move(f2);
+    out->have_fin1 = out->have_fin2 = true;
+  }
+}
+
+// fill_orphan (aligner_ksw2.hpp:2566-2711). Updates start/end in the
+// score pass (klib local trim). Finalize writes into FillOut.
+void fill_orphan(const Ctx& c, Scratch& s, int64_t* start, int64_t* end,
+                 const int8_t* read, int32_t rlen, bool score_only,
+                 FillOut* out) {
+  *out = FillOut();
+  const int8_t* text = c.text;
+  int64_t ref_occ = *start;
+  int64_t ref_len = *end - *start + 1;
+  if (score_only) {
+    LocalHit r = local_align(c, s, read, rlen, text + ref_occ,
+                             int32_t(ref_len));
+    *end = *start + r.te;
+    *start += r.tb;
+    ExtzOut ez = run_extz(c, s, read, rlen, text + ref_occ + r.tb,
+                          r.te - r.tb + 1, FLAG_SCORE_ONLY, nullptr);
+    out->score = ez.score;
+    out->pos = *start;
+    if (!seq_valid(c, *start, *end - *start + 1)) out->score = NEG_INF;
+    return;
+  }
+  // finalize: global extz over the given (trimmed) window
+  Cigar cig;
+  ExtzOut ez = run_extz(c, s, read, rlen, text + ref_occ,
+                        int32_t(ref_len), 0, &cig);
+  out->finalized = true;
+  out->score = ez.score;
+  out->pos = *start;
+  out->lift_cig = cig;
+  write_md_core(text + ref_occ, read, cig, out->lift_md, &out->lift_nm);
+  out->lift_pos = ref_occ;
+  out->lift_rlen = int32_t(ref_len);
+  int64_t lpos = 0;
+  Cigar lops;
+  bool any = lift_cigar(c, ref_occ, cig, &lpos, lops);
+  int64_t lrlen = any ? cigar_rlen(lops) : 0;
+  if (any && lrlen > 0) {
+    write_md_core(text + lpos, read, lops, out->md, &out->nm);
+    out->out_pos = lpos;
+    out->cig = std::move(lops);
+    out->rlen = int32_t(lrlen);
+  } else {
+    out->unmapped_lft = true;
+    out->out_pos = 0;
+    out->cig.clear();
+    out->rlen = 0;
+  }
+}
+
+void pe_orphan_score(const Ctx& c, const PeParams& pp, Scratch& s,
+                     const std::vector<Mem>& mems,
+                     const std::vector<Anchor>& anchors, const Chain& ch,
+                     const PeRead& rd, int32_t chain_i, double mean,
+                     double std_dev, bool score_only, int64_t start,
+                     int64_t end, PePair* out) {
+  out->score = PairedScore();
+  out->score.chain_i = chain_i;
+  out->have_fin1 = out->have_fin2 = false;
+  int32_t strand = strand_of(ch);
+  const int8_t* mate1 = strand ? rd.m1r : rd.m1f;
+  const int8_t* mate2 = strand ? rd.m2f : rd.m2r;
+  std::vector<Anchor> a1, a2;
+  int64_t lm, rm;
+  split_mates(mems, anchors, ch, a1, a2, &lm, &rm);
+  int64_t clamp = c.n - 10;  // reference: n - idx.get_w() (w = 10)
+  FillOut f1, f2;
+  if (score_only) {
+    if (!a1.empty()) {
+      chain_score(c, s, mems, a1, mate1, rd.len1, rd.min1, true, &f1);
+      start = rm + int64_t(std::floor(mean - 4 * std_dev));
+      end = rm + int64_t(std::ceil(mean + 4 * std_dev));
+      start = std::min(std::max<int64_t>(start, 0), clamp);
+      end = std::min(end, clamp);
+      if (start < end)
+        fill_orphan(c, s, &start, &end, mate2, rd.len2, true, &f2);
+    } else {
+      chain_score(c, s, mems, a2, mate2, rd.len2, rd.min2, true, &f2);
+      start = lm + int64_t(std::floor(-mean - 4 * std_dev));
+      end = lm + int64_t(std::ceil(-mean + 4 * std_dev));
+      start = std::min(std::max<int64_t>(start, 0), clamp);
+      end = std::min(end, clamp);
+      if (start < end)
+        fill_orphan(c, s, &start, &end, mate1, rd.len1, true, &f1);
+    }
+    out->score.win_start = start;
+    out->score.win_end = end;
+  } else {
+    if (!a1.empty()) {
+      chain_score(c, s, mems, a1, mate1, rd.len1, rd.min1, false, &f1);
+      out->have_fin1 = true;
+      out->orphan_mate = 2;
+      if (start < end) {
+        fill_orphan(c, s, &start, &end, mate2, rd.len2, false, &f2);
+        out->have_fin2 = true;
+      }
+    } else {
+      out->orphan_mate = 1;
+      if (start < end) {
+        fill_orphan(c, s, &start, &end, mate1, rd.len1, false, &f1);
+        out->have_fin1 = true;
+      }
+      chain_score(c, s, mems, a2, mate2, rd.len2, rd.min2, false, &f2);
+      out->have_fin2 = true;
+    }
+  }
+  out->score.m1 = {f1.score, f1.pos, lift_pos(c, f1.pos), f1.unmapped_lft};
+  out->score.m2 = {f2.score, f2.pos, lift_pos(c, f2.pos), f2.unmapped_lft};
+  out->score.dist = std::llabs(f2.pos - (f1.pos + rd.len1));
+  out->score.tot = ins_tot(pp, f1.score, f2.score, out->score.dist);
+  if (!score_only) {
+    out->fin1 = std::move(f1);
+    out->fin2 = std::move(f2);
+  }
+}
+
+// Per-pair output views: mate1 = row b, mate2 = row B + b of 2B arrays.
+struct PeOut {
+  SeOut se;  // shared layout, 2B rows
+  int32_t* mapq;
+  int64_t* pnext;
+  int64_t* tlen;
+  int8_t* strand;       // -1 = never finalized (original orientation)
+  uint8_t* aligned;     // [B]
+  uint8_t* chained;     // [B]
+  uint8_t* orphan_rec;  // [B]
+  uint8_t* learn_ok;    // [B]
+  int64_t* learn_dist;  // [B]
+};
+
+struct PeState {
+  std::vector<Mem> mems;
+  std::vector<Anchor> anchors;
+  std::vector<Chain> chains;
+  std::vector<PairedScore> best_scores;
+  int64_t score2 = 0, score2_m1 = 0, score2_m2 = 0;
+  int32_t sub_n = 0;
+  bool second_best = false;
+  // SAM staging (written to outputs at the end)
+  struct MateSam {
+    int32_t flag = 4;
+    int32_t rname = -1;
+    int64_t pos = 0;
+    int32_t mapq = 255;
+    int64_t pnext = 0, tlen = 0;
+    int64_t asc = 0, zs = 0;
+    Cigar cig;
+    std::string md;
+    int32_t nm = 0, rlen = 0;
+    int32_t lift_rname = -1;
+    int64_t lift_pos = 0;
+    Cigar lift_cig;
+    std::string lift_md;
+    int32_t lift_nm = 0, lift_rlen = 0;
+    bool unmapped_lft = false;
+  } sam1, sam2;
+  std::vector<std::pair<int32_t, int64_t>> alt1_pos, alt2_pos;  // (rname, pos)
+  std::vector<int64_t> alt1_sc, alt2_sc;
+};
+
+// check_paired_left_MEM (aligner_ksw2.hpp:1471-1533); missing-mate
+// positions fall back to 0 (reference reads uninitialized memory).
+bool check_paired_left_mem(const Ctx& c, const PeState& st,
+                           std::vector<std::pair<int64_t, int64_t>>& v1,
+                           std::vector<std::pair<int64_t, int64_t>>& v2,
+                           int32_t i) {
+  const Chain& ch = st.chains[i];
+  int64_t p1 = -1, p2 = -1;
+  for (auto it = ch.anchors.rbegin(); it != ch.anchors.rend(); ++it) {
+    const Anchor& a = st.anchors[*it];
+    const Mem& mem = st.mems[a.mem_i];
+    int64_t pos = mem.occs[a.occ_i];
+    if ((mem.mate & 1) == 0 && p1 < 0) {
+      int64_t l = lift_pos(c, pos);
+      p1 = l - c.seq_starts[seq_of(c, l)] + 1;
+    } else if ((mem.mate & 1) && p2 < 0) {
+      int64_t l = lift_pos(c, pos);
+      p2 = l - c.seq_starts[seq_of(c, l)] + 1;
+    }
+    if (p1 >= 0 && p2 >= 0) break;
+  }
+  if (p1 < 0) p1 = 0;
+  if (p2 < 0) p2 = 0;
+  int32_t rd = c.p->region_dist;
+  for (size_t j = 0; j < v1.size(); ++j) {
+    if (std::llabs(v1[j].first - p1) < rd &&
+        std::llabs(v2[j].first - p2) < rd && v1[j].second == ch.score)
+      return true;
+  }
+  v1.push_back({p1, ch.score});
+  v2.push_back({p2, ch.score});
+  return false;
+}
+
+// get_best_scores (aligner_ksw2.hpp:1329-1431)
+void pe_get_best_scores(const Ctx& c, const PeParams& pp, Scratch& s,
+                        PeState& st, const PeRead& rd, int32_t max_pen) {
+  const SeParams& p = pp.se;
+  std::vector<int64_t> seen;
+  auto seen_score = [&](int64_t sc) {
+    for (int64_t v : seen)
+      if (v == sc) return true;
+    return false;
+  };
+  std::vector<std::pair<int64_t, int64_t>> v1, v2;
+  int64_t max1 = 0, max2 = 0;
+  auto check_max = [&](int64_t maxs, const ScoreT& sc,
+                       std::vector<std::pair<int32_t, int64_t>>& altp,
+                       std::vector<int64_t>& alts) {
+    if (sc.score > maxs) {
+      altp.clear();
+      alts.clear();
+      return sc.score;
+    }
+    if (sc.score == maxs) {
+      int32_t sq = seq_of(c, sc.pos);
+      altp.push_back({sq, sc.pos - c.seq_starts[sq] + 1});
+      alts.push_back(sc.score);
+    }
+    return maxs;
+  };
+  int32_t i = 0;
+  PePair pair;
+  while (i < (int32_t)st.chains.size() &&
+         (int32_t)seen.size() < p.check_k) {
+    if (!seen_score(st.chains[i].score))
+      seen.push_back(st.chains[i].score);
+    if (p.left_mem_check && check_paired_left_mem(c, st, v1, v2, i)) {
+      ++i;
+      continue;
+    }
+    if ((int32_t)seen.size() < p.check_k) {
+      pe_chain_score(c, pp, s, st.mems, st.anchors, st.chains[i], rd, i,
+                     true, &pair);
+      PairedScore& score = pair.score;
+      max1 = check_max(max1, score.m1, st.alt1_pos, st.alt1_sc);
+      max2 = check_max(max2, score.m2, st.alt2_pos, st.alt2_sc);
+      if (score.tot >= rd.min_score) {
+        bool replaced = false;
+        int32_t j = 0;
+        while (j < (int32_t)st.best_scores.size()) {
+          PairedScore& b = st.best_scores[j];
+          if (std::llabs(b.m1.lft - score.m1.lft) < p.region_dist &&
+              std::llabs(b.m2.lft - score.m2.lft) < p.region_dist) {
+            if (score.tot > b.tot) {
+              if (replaced) {
+                PairedScore z;
+                z.chain_i = i;
+                st.best_scores[j] = z;
+              } else {
+                st.best_scores[j] = score;
+                replaced = true;
+              }
+            } else {
+              j = (int32_t)st.best_scores.size();
+              replaced = true;
+            }
+          }
+          ++j;
+        }
+        if (!replaced) st.best_scores.push_back(score);
+      }
+      ++i;
+    }
+  }
+  while ((int32_t)st.best_scores.size() < 2) {
+    PairedScore z;
+    z.chain_i = (int32_t)st.chains.size();
+    st.best_scores.push_back(z);
+  }
+  std::stable_sort(st.best_scores.begin(), st.best_scores.end(),
+                   [](const PairedScore& a, const PairedScore& b) {
+                     if (a.tot != b.tot) return a.tot > b.tot;
+                     if (a.m1.lft != b.m1.lft) return a.m1.lft > b.m1.lft;
+                     return a.m2.lft > b.m2.lft;
+                   });
+  int32_t j = 1;
+  st.sub_n = 0;
+  while (j < (int32_t)st.best_scores.size() &&
+         st.best_scores[j].tot >= st.best_scores[0].tot - max_pen) {
+    ++st.sub_n;
+    ++j;
+  }
+  st.score2 = st.best_scores[1].tot;
+  st.score2_m1 = st.best_scores[1].m1.score;
+  st.score2_m2 = st.best_scores[1].m2.score;
+  st.second_best = st.score2 >= rd.min_score;
+}
+
+void emit_mate_sam(const Ctx& c, const FillOut& fin,
+                   PeState::MateSam& sam) {
+  if (!fin.finalized) return;
+  int32_t lsq = seq_of(c, fin.lift_pos);
+  sam.lift_rname = lsq;
+  sam.lift_pos = fin.lift_pos - c.seq_starts[lsq] + 1;
+  sam.lift_cig = fin.lift_cig;
+  sam.lift_md = fin.lift_md;
+  sam.lift_nm = fin.lift_nm;
+  sam.lift_rlen = fin.lift_rlen;
+  sam.asc = fin.score;
+  if (fin.unmapped_lft) {
+    sam.rname = -1;
+    sam.pos = 0;
+    sam.cig.clear();
+    sam.rlen = 0;
+    sam.unmapped_lft = true;
+  } else {
+    int32_t sq = seq_of(c, fin.out_pos);
+    sam.rname = sq;
+    sam.pos = fin.out_pos - c.seq_starts[sq] + 1;
+    sam.cig = fin.cig;
+    sam.md = fin.md;
+    sam.nm = fin.nm;
+    sam.rlen = fin.rlen;
+  }
+}
+
+// BWA-MEM SE MAPQ (mapq.hpp:146-184); mirrors align/mapq.py.
+int32_t mapq_se_bwa(int64_t score, int64_t score2, int64_t rlen,
+                    int64_t qlen, int32_t min_seed_len, int32_t sm,
+                    int32_t sx, int32_t sub_n) {
+  double l = double(std::max(rlen, qlen));
+  int64_t sub = score2 ? score2 : int64_t(min_seed_len) * sm;
+  if (sub >= score) return 0;
+  double identity =
+      1.0 - (l * sm - double(score)) / (sm + sx) / l;
+  int32_t mapq;
+  if (score == 0) {
+    mapq = 0;
+  } else {
+    double coeff_len = 50.0;
+    double coeff_fac = double(int32_t(std::log(50.0)));
+    double tmp = l < coeff_len ? 1.0 : coeff_fac / std::log(l);
+    tmp *= identity * identity;
+    mapq = int32_t(6.02 * double(score - sub) / sm * tmp * tmp + .499);
+  }
+  if (sub_n > 0)
+    mapq -= int32_t(4.343 * std::log(double(sub_n) + 1) + .499);
+  return std::max(0, std::min(60, mapq));
+}
+
+int32_t raw_mapq(int64_t diff, int32_t a) {
+  return int32_t(6.02 * double(diff) / a + .499);
+}
+
+// the !score_only tail shared by paired_chain_score and the orphan
+// variant (:2206-2288, 2470-2555)
+void pe_finalize_pair(const Ctx& c, const PeParams& pp, PeState& st,
+                      const PeRead& rd, const PePair& pair,
+                      int32_t strand) {
+  const SeParams& p = pp.se;
+  const PairedScore& score = pair.score;
+  PeState::MateSam& s1 = st.sam1;
+  PeState::MateSam& s2 = st.sam2;
+  if (pair.have_fin1) emit_mate_sam(c, pair.fin1, s1);
+  if (pair.have_fin2) emit_mate_sam(c, pair.fin2, s2);
+  // chain_score-emitted mates get zs + mapq when finalized
+  // (aligner_ksw2.hpp:2076-2084); fill_orphan-emitted mates get mapq
+  // only, computed unconditionally (:2441-2443, 2452-2454)
+  if (pair.orphan_mate != 1) {
+    if (pair.have_fin1 && pair.fin1.finalized) {
+      s1.zs = st.score2_m1;
+      s1.mapq = mapq_se_bwa(s1.asc, st.score2_m1, s1.rlen, rd.len1,
+                            p.min_len, p.smatch, p.smismatch, st.sub_n);
+    }
+  } else {
+    s1.mapq = mapq_se_bwa(s1.asc, st.score2_m1, s1.rlen, rd.len1,
+                          p.min_len, p.smatch, p.smismatch, st.sub_n);
+  }
+  if (pair.orphan_mate != 2) {
+    if (pair.have_fin2 && pair.fin2.finalized) {
+      s2.zs = st.score2_m2;
+      s2.mapq = mapq_se_bwa(s2.asc, st.score2_m2, s2.rlen, rd.len2,
+                            p.min_len, p.smatch, p.smismatch, st.sub_n);
+    }
+  } else {
+    s2.mapq = mapq_se_bwa(s2.asc, st.score2_m2, s2.rlen, rd.len2,
+                          p.min_len, p.smatch, p.smismatch, st.sub_n);
+  }
+  bool ok1 = score.m1.score >= rd.min1 && !score.m1.unmapped_lft;
+  bool ok2 = score.m2.score >= rd.min2 && !score.m2.unmapped_lft;
+  if (ok1 && ok2) {
+    s1.pnext = s2.pos;
+    s2.pnext = s1.pos;
+    int64_t tlen;
+    if (s2.pos > s1.pos) {
+      tlen = (s2.pos + rd.len2) - s1.pos;
+      s1.tlen = tlen;
+      s2.tlen = -tlen;
+    } else {
+      tlen = (s1.pos + rd.len1) - s2.pos;
+      s1.tlen = -tlen;
+      s2.tlen = tlen;
+    }
+    // compute_mapq_pe_bwa (mapq.hpp:186-223); score_un = 0 (:2237)
+    int64_t sub = std::max<int64_t>(st.score2, 0);
+    int32_t mapq = raw_mapq(score.tot - sub, p.smatch);
+    if (st.sub_n > 0)
+      mapq -= int32_t(4.343 * std::log(double(st.sub_n) + 1) + .499);
+    mapq = std::max(0, std::min(60, mapq));
+    int32_t m1q = (int32_t)s1.mapq, m2q = (int32_t)s2.mapq;
+    if (score.tot > 0) {  // score > score_un (= 0)
+      m1q = m1q > mapq ? m1q : (mapq < m1q + 40 ? mapq : m1q + 40);
+      m2q = m2q > mapq ? m2q : (mapq < m2q + 40 ? mapq : m2q + 40);
+      m1q = std::min(m1q,
+                     raw_mapq(score.m1.score - st.score2_m1, p.smatch));
+      m2q = std::min(m2q,
+                     raw_mapq(score.m2.score - st.score2_m2, p.smatch));
+    }
+    s1.mapq = m1q;
+    s2.mapq = m2q;
+    s1.asc = s2.asc = score.tot;
+    s1.zs = s2.zs = st.score2;
+    int32_t base = 1 | 2;  // PAIRED | MAPPED_PAIRED
+    if (strand) {
+      s1.flag = base | 16 | 64;
+      s2.flag = base | 32 | 128;
+    } else {
+      s1.flag = base | 32 | 64;
+      s2.flag = base | 16 | 128;
+    }
+  } else if (ok1) {
+    s1.zs = st.score2_m1;
+    s1.flag = 1 | 8 | 64;
+    s2.flag = 1 | 4 | 128;
+    if (strand) s1.flag |= 16;
+    s2.rname = s1.rname;
+    s2.pos = s1.pos;
+    s2.mapq = s1.mapq;
+    s2.cig.clear();
+    s2.pnext = s1.pnext = s1.pos;
+    s2.tlen = s1.tlen = 0;
+  } else if (ok2) {
+    s1.zs = st.score2_m2;
+    s1.flag = 1 | 4 | 64;
+    s2.flag = 1 | 8 | 128;
+    if (!strand) s2.flag |= 16;
+    s1.rname = s2.rname;
+    s1.pos = s2.pos;
+    s1.mapq = s2.mapq;
+    s1.cig.clear();
+    s1.pnext = s2.pnext = s2.pos;
+    s1.tlen = s2.tlen = 0;
+  } else {
+    s1.flag = s2.flag = 1 | 4 | 8;
+  }
+}
+
+bool pe_orphan_recovery(const Ctx& c, const PeParams& pp, Scratch& s,
+                        PeState& st, const PeRead& rd, int32_t max_pen,
+                        int32_t* out_strand) {
+  const SeParams& p = pp.se;
+  std::vector<PairedScore> best;
+  PePair pair;
+  for (int32_t i = 0; i < (int32_t)st.chains.size(); ++i) {
+    pe_orphan_score(c, pp, s, st.mems, st.anchors, st.chains[i], rd, i,
+                    pp.ins_mean, pp.ins_std, true, 0, 0, &pair);
+    PairedScore& score = pair.score;
+    if (score.tot >= rd.min_score) {
+      bool replaced = false;
+      int32_t j = 0;
+      while (j < (int32_t)best.size()) {
+        PairedScore& b = best[j];
+        if (std::llabs(b.m1.lft - score.m1.lft) < p.region_dist &&
+            std::llabs(b.m2.lft - score.m2.lft) < p.region_dist) {
+          if (score.tot > b.tot) {
+            if (replaced) {
+              PairedScore z;
+              z.chain_i = i;
+              best[j] = z;
+            } else {
+              best[j] = score;
+              replaced = true;
+            }
+          } else {
+            j = (int32_t)best.size();
+            replaced = true;
+          }
+        }
+        ++j;
+      }
+      if (!replaced) best.push_back(score);
+    }
+  }
+  while ((int32_t)best.size() < 2) {
+    PairedScore z;
+    z.chain_i = (int32_t)st.chains.size();
+    best.push_back(z);
+  }
+  std::stable_sort(best.begin(), best.end(),
+                   [](const PairedScore& a, const PairedScore& b) {
+                     if (a.tot != b.tot) return a.tot > b.tot;
+                     if (a.m1.lft != b.m1.lft) return a.m1.lft > b.m1.lft;
+                     return a.m2.lft > b.m2.lft;
+                   });
+  if (best[0].tot < rd.min_score) return false;
+  int32_t j = 1;
+  st.sub_n = 0;
+  while (j < (int32_t)best.size() &&
+         best[j].tot >= best[0].tot - max_pen) {
+    ++st.sub_n;
+    ++j;
+  }
+  st.score2 = best[1].tot;
+  st.score2_m1 = best[1].m1.score;
+  st.score2_m2 = best[1].m2.score;
+  st.second_best = st.score2 >= rd.min_score;
+  int32_t ci = best[0].chain_i;
+  PePair fin;
+  pe_orphan_score(c, pp, s, st.mems, st.anchors, st.chains[ci], rd, ci,
+                  pp.ins_mean, pp.ins_std, false, best[0].win_start,
+                  best[0].win_end, &fin);
+  int32_t strand = strand_of(st.chains[ci]);
+  *out_strand = strand;
+  pe_finalize_pair(c, pp, st, rd, fin, strand);
+  return fin.score.tot >= rd.min_score;
+}
+
+void pe_write_mate(const Ctx& c, const PeState::MateSam& sam, int64_t row,
+                   const SeOut& o, const PeOut& po) {
+  const SeParams& p = *c.p;
+  o.flag[row] = sam.flag;
+  o.rname[row] = sam.rname;
+  o.pos[row] = sam.pos;
+  po.mapq[row] = sam.mapq;
+  po.pnext[row] = sam.pnext;
+  po.tlen[row] = sam.tlen;
+  o.asc[row] = int32_t(sam.asc);
+  o.zs[row] = int32_t(sam.zs);
+  o.nm[row] = sam.nm;
+  o.rlen[row] = sam.rlen;
+  emit_cigar(sam.cig, o.cigar + row * p.cigar_cap, &o.ncigar[row],
+             p.cigar_cap);
+  emit_str(sam.md, o.md + row * p.md_cap, p.md_cap);
+  o.lift_rname[row] = sam.lift_rname;
+  o.lift_pos[row] = sam.lift_pos;
+  emit_cigar(sam.lift_cig, o.lift_cigar + row * p.cigar_cap,
+             &o.lift_ncigar[row], p.cigar_cap);
+  emit_str(sam.lift_md, o.lift_md + row * p.md_cap, p.md_cap);
+  o.lift_nm[row] = sam.lift_nm;
+  o.lift_rlen[row] = sam.lift_rlen;
+  o.unmapped_lft[row] = sam.unmapped_lft ? 1 : 0;
+}
+
+void align_one_pe(const Ctx& c, const PeParams& pp, Scratch& s,
+                  const SeedArrays& sd, const int8_t* m1f,
+                  const int8_t* m1r, const int8_t* m2f, const int8_t* m2r,
+                  int32_t len1, int32_t len2, int64_t B, int64_t b,
+                  const PeOut& po) {
+  const SeParams& p = pp.se;
+  int32_t max_pen = std::max(p.smatch + p.smismatch, p.gapo + p.gape);
+  PeRead rd{m1f,  m1r,  m2f, m2r, len1, len2,
+            int64_t(20 + 8 * std::log(double(len1))),
+            int64_t(20 + 8 * std::log(double(len2))), 0};
+  rd.min_score = rd.min1 + rd.min2;
+
+  PeState st;
+  build_mems_pe(c, pp, sd, B, b, len1, len2, st.mems, s);
+  find_chains(st.mems, p, p.secondary != 0, st.anchors, st.chains,
+              s.dp);
+  po.chained[b] = st.chains.empty() ? 0 : 1;
+  po.aligned[b] = 0;
+  po.orphan_rec[b] = 0;
+  po.learn_ok[b] = 0;
+  po.learn_dist[b] = 0;
+  po.strand[b] = -1;
+  int32_t strand = -1;
+  bool aligned = false;
+
+  if (!st.chains.empty()) {
+    pe_get_best_scores(c, pp, s, st, rd, max_pen);
+    if (st.best_scores[0].tot >= rd.min_score) {
+      if (pp.finalize) {
+        int32_t ci = st.best_scores[0].chain_i;
+        PePair fin;
+        pe_chain_score(c, pp, s, st.mems, st.anchors, st.chains[ci], rd,
+                       ci, false, &fin);
+        strand = strand_of(st.chains[ci]);
+        pe_finalize_pair(c, pp, st, rd, fin, strand);
+        aligned = fin.score.tot >= rd.min_score;
+      } else {
+        aligned = true;
+        // learning outputs (learn_fragment_model gate, :831)
+        if (!st.second_best ||
+            (st.best_scores[0].tot - st.best_scores[1].tot) >
+                pp.learn_gap_thr) {
+          po.learn_ok[b] = 1;
+          po.learn_dist[b] = st.best_scores[0].dist;
+        }
+      }
+    } else {
+      st.alt1_pos.clear();
+      st.alt1_sc.clear();
+      st.alt2_pos.clear();
+      st.alt2_sc.clear();
+    }
+  }
+  if (pp.finalize && !aligned && po.chained[b] && pp.find_orphan) {
+    int32_t os = -1;
+    if (pe_orphan_recovery(c, pp, s, st, rd, max_pen, &os)) {
+      aligned = true;
+      po.orphan_rec[b] = 1;
+      strand = os;
+    } else if (os >= 0) {
+      strand = os;  // orphan finalize ran but stayed below min_score
+    }
+  }
+  po.aligned[b] = aligned ? 1 : 0;
+  po.strand[b] = int8_t(strand);
+
+  // outputs
+  pe_write_mate(c, st.sam1, b, po.se, po);
+  pe_write_mate(c, st.sam2, B + b, po.se, po);
+  auto dump_alt = [&](const std::vector<std::pair<int32_t, int64_t>>& ap,
+                      const std::vector<int64_t>& as_, int64_t row) {
+    int32_t n = std::min<int32_t>((int32_t)ap.size(), p.alt_cap);
+    for (int32_t k = 0; k < n; ++k) {
+      po.se.alt_rname[row * p.alt_cap + k] = ap[k].first;
+      po.se.alt_pos[row * p.alt_cap + k] = ap[k].second;
+      po.se.alt_score[row * p.alt_cap + k] = int32_t(as_[k]);
+    }
+    po.se.nalt[row] = n;
+  };
+  dump_alt(st.alt1_pos, st.alt1_sc, b);
+  dump_alt(st.alt2_pos, st.alt2_sc, B + b);
+  po.se.chains_skipped[b] = 0;
+  po.se.chains_skipped[B + b] = 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1113,6 +2008,69 @@ int monitpu_postseed_se(
         align_one(c, s, sd, fwd + b * M, rcv + b * M, lens[b], B, b, out);
       }
     }
+  };
+  if (n_threads == 1 || B <= 1) {
+    work(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(B, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+    for (auto& t : pool) t.join();
+  }
+  return 0;
+}
+
+// Paired-end entry: seed rows [m1F, m2RC, m2F, m1RC] x B (4B lanes);
+// per-mate outputs in 2B rows (mate1 = b, mate2 = B + b).
+int monitpu_postseed_pe(
+    const int8_t* text, int64_t n, const int64_t* seq_starts, int32_t nseq,
+    const int64_t* lift_hs, const int64_t* lift_rs, const uint8_t* lift_ins,
+    const int64_t* lift_se, int64_t n_lift, const int8_t* m1f,
+    const int8_t* m1r, const int8_t* m2f, const int8_t* m2r,
+    const int32_t* len1, const int32_t* len2, int64_t B, int64_t M,
+    const int32_t* s_row, const int32_t* s_slot, const int32_t* s_len,
+    const int32_t* s_idx, const int32_t* s_cnt, const int32_t* s_off,
+    const int32_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
+    const PeParams* prm, int32_t* o_flag, int32_t* o_rname,
+    int64_t* o_pos, int32_t* o_as, int32_t* o_zs, int32_t* o_nm,
+    int32_t* o_rlen, uint32_t* o_cigar, int32_t* o_ncigar, char* o_md,
+    int32_t* o_lift_rname, int64_t* o_lift_pos, uint32_t* o_lift_cigar,
+    int32_t* o_lift_ncigar, char* o_lift_md, int32_t* o_lift_nm,
+    int32_t* o_lift_rlen, uint8_t* o_unmapped_lft, int32_t* o_alt_rname,
+    int64_t* o_alt_pos, int32_t* o_alt_score, int32_t* o_nalt,
+    int32_t* o_chains_skipped, int32_t* o_mapq, int64_t* o_pnext,
+    int64_t* o_tlen, int8_t* o_strand, uint8_t* o_aligned,
+    uint8_t* o_chained, uint8_t* o_orphan_rec, uint8_t* o_learn_ok,
+    int64_t* o_learn_dist) {
+  Ctx c{text,    n,        seq_starts, nseq,   lift_hs,
+        lift_rs, lift_ins, lift_se,    n_lift, &prm->se};
+  SeedArrays sd{s_row, s_slot, s_len, s_idx, s_cnt, s_off, s_occ,
+                n_seeds, S, K, {}};
+  sd.rowstart.assign(4 * B + 2, 0);
+  for (int64_t k = 0; k < n_seeds; ++k) {
+    int64_t r = s_row[k];
+    if (r >= 0 && r < 4 * B) ++sd.rowstart[r + 1];
+  }
+  for (int64_t r = 0; r < 4 * B + 1; ++r)
+    sd.rowstart[r + 1] += sd.rowstart[r];
+  SeOut se_out{o_flag,       o_rname,       o_pos,        o_as,
+               o_zs,         o_nm,          o_rlen,       o_cigar,
+               o_ncigar,     o_md,          o_lift_rname, o_lift_pos,
+               o_lift_cigar, o_lift_ncigar, o_lift_md,    o_lift_nm,
+               o_lift_rlen,  o_unmapped_lft, o_alt_rname, o_alt_pos,
+               o_alt_score,  o_nalt,        o_chains_skipped};
+  PeOut po{se_out,   o_mapq,    o_pnext,      o_tlen,     o_strand,
+           o_aligned, o_chained, o_orphan_rec, o_learn_ok, o_learn_dist};
+  int32_t n_threads = std::max(1, prm->se.n_threads);
+  auto work = [&](int64_t lo, int64_t hi) {
+    Scratch s;
+    for (int64_t b = lo; b < hi; ++b)
+      align_one_pe(c, *prm, s, sd, m1f + b * M, m1r + b * M, m2f + b * M,
+                   m2r + b * M, len1[b], len2[b], B, b, po);
   };
   if (n_threads == 1 || B <= 1) {
     work(0, B);

@@ -45,6 +45,9 @@ class OracleParams:
     freq_thr: float = 0.50
     left_mem_check: bool = True
     secondary_chains: bool = False
+    filter_dir: bool = True       # PE orientation filter (config_t:94-95)
+    dir_thr: float = 50.0
+    find_orphan: bool = True
     fill: FillParams = FillParams()
     chain: ChainParams = ChainParams()
 

@@ -11,8 +11,11 @@ from monitpu.align.sam import (SAM_UNMAPPED, SAM_PAIRED, SAM_MAPPED_PAIRED,
                                SAM_REVERSED, SAM_FIRST_IN_PAIR,
                                SAM_SECOND_IN_PAIR)
 
+# these tests pin the all-on-TPU fitting path (postseed="device") with
+# its online insert learning; the native path has its own parity suite
+# (test_parity_pe.py)
 CFG = AlignConfig(
-    min_len=15,
+    min_len=15, postseed="device",
     max_mems=6, max_occs=8, max_anchors=96,
     read_pad=64, window=160, margin=24,
     chain=ChainConfig(min_chain_score=12, max_chains=4, max_chain_len=16),
