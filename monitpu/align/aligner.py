@@ -64,6 +64,10 @@ class AlignConfig:
     # native/runtime.cpp) fed by device seeds; "device" = all-on-TPU
     # fitting-alignment path (approximate scores, fastest compile)
     postseed: str = "native"
+    # seed-stage engine: "tpu" (JAX kernels) or "cpu" (native/cpuseeds
+    # .cpp) — the CPU engine is the measured baseline and the fallback
+    # for hosts without an accelerator; both feed the same post-seed
+    engine: str = "tpu"
     secondary_chains: bool = False   # find_chains_secondary (-Z)
     n_seeds_thr: int = 1000          # per-genome occ filter (-S)
     filter_seeds: bool = True        # -s disables
@@ -184,7 +188,8 @@ class Aligner:
                  liftidx=None):
         self.index = index
         self.cfg = config
-        self.tables = prepare_tables(index)
+        self.tables = (prepare_tables(index)
+                       if config.engine != "cpu" else None)
         self.seq_starts = np.asarray(index.seq_starts)
         self.seq_names = list(index.seq_names)
         self.liftidx = liftidx
@@ -258,8 +263,24 @@ class Aligner:
             rcodes.append(r)
         t_enc.__exit__(None, None, None)
 
+        if cfg.engine == "cpu":
+            from .cpu import cpu_seeds
+            with phase_timer("cpu seeds"):
+                packed = cpu_seeds(
+                    self.index, np.concatenate([fwd, rc]).astype(np.int8),
+                    np.concatenate([lens, lens]), min_len=cfg.min_len,
+                    max_occs=cfg.max_occs, n_threads=cfg.postseed_threads)
+            return dict(reads=reads, packed_host=packed, fwd=fwd, rc=rc,
+                        lens=lens, fcodes=fcodes, rcodes=rcodes)
+
         if cfg.postseed == "native":
             from ..ops.occs import pack_seeds
+            if self.mesh is not None:
+                with phase_timer("device dispatch (sharded)"):
+                    seeds, packed = self._seed_stage_sharded(fwd, rc, lens)
+                return dict(reads=reads, seeds=seeds, packed=packed,
+                            sharded=True, fwd=fwd, rc=rc, lens=lens,
+                            fcodes=fcodes, rcodes=rcodes)
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
                     [self.put_batch(fwd), self.put_batch(rc)], axis=0)
@@ -289,27 +310,134 @@ class Aligner:
         the reference's scoring/filter flag surface lands: -A/-B/-O/-E
         via SWParams (incl. the dual-affine gapo2/gape2 used by the
         pure-gap closed forms), -L ext_len, -S n_seeds_thr."""
-        from .postseed import PostseedConfig
+        from .postseed import config_from_align
+        return config_from_align(self.cfg)
+
+    def _seed_stage_sharded(self, fwd, rc, lens):
+        """SPMD seed stage: find_mems + populate_seeds + pack under
+        shard_map, so the worklist compactions (batch-global cumsums in
+        ops/ms and ops/occs) stay PER-SHARD — no cross-shard resharding,
+        no collectives; the TPU-native analog of the reference's
+        independent alignment pthreads (align_reads_dispatcher.hpp:
+        118-198). Packed outputs come back shard-major and are remapped
+        to global rows host-side in _merge_sharded_pack."""
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import READS_AXIS
+        from ..ops.occs import pack_seeds
+        shard_map = jax.shard_map
         cfg = self.cfg
-        return PostseedConfig(
-            min_len=cfg.min_len, check_k=cfg.check_k,
-            region_dist=cfg.region_dist, filter_freq=cfg.filter_freq,
-            freq_thr=cfg.freq_thr, secondary_chains=cfg.secondary_chains,
-            n_seeds_thr=cfg.n_seeds_thr, filter_seeds=cfg.filter_seeds,
-            left_mem_check=cfg.left_mem_check,
-            max_dist_x=cfg.chain.max_dist_x, max_dist_y=cfg.chain.max_dist_y,
-            max_iter=cfg.chain.max_iter, max_pred=cfg.chain.max_pred,
-            min_chain_score=cfg.chain.min_chain_score,
-            min_chain_length=cfg.chain.min_chain_length,
-            smatch=cfg.sw.smatch, smismatch=cfg.sw.smismatch,
-            gapo=cfg.sw.gapo, gape=cfg.sw.gape,
-            gapo2=cfg.sw.gapo2, gape2=cfg.sw.gape2,
-            ext_len=cfg.ext_len, n_threads=cfg.postseed_threads)
+        nsh = self.mesh.devices.size
+        B = fwd.shape[0]
+        lb = B // nsh
+        W = cfg.pack_seeds_per_read * lb
+        occ_cap = cfg.pack_occs_per_read * lb
+
+        def stage(tables, fwd_l, rc_l, lens_l):
+            lanes = jnp.concatenate([fwd_l, rc_l], axis=0)
+            lens2 = jnp.concatenate([lens_l, lens_l], axis=0)
+            mems = find_mems_batch(
+                tables, lanes, lens2, max_mems=cfg.max_mems,
+                min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
+            seeds = populate_seeds_batch(
+                tables, *mems, max_occs=cfg.max_occs, min_len=cfg.min_len)
+            packed = pack_seeds(seeds, W=W, occ_cap=occ_cap)
+            packed["n_valid"] = packed["n_valid"][None]
+            packed["n_occ"] = packed["n_occ"][None]
+            return seeds, packed
+
+        tspec = jax.tree_util.tree_map(lambda _: P(), self.tables)
+        fn = shard_map(
+            stage, mesh=self.mesh,
+            in_specs=(tspec, P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+            out_specs=(jax.tree_util.tree_map(
+                lambda _: P(READS_AXIS),
+                {"occs": 0, "cnt": 0, "len": 0, "idx": 0, "valid": 0}),
+                jax.tree_util.tree_map(
+                lambda _: P(READS_AXIS),
+                {"row": 0, "slot": 0, "len": 0, "idx": 0, "cnt": 0,
+                 "off": 0, "occ": 0, "n_valid": 0, "n_occ": 0})),
+            # the stage is embarrassingly parallel; the varying-manual-
+            # axes checker rejects unvarying scan/while carry inits
+            # (e.g. pos0 from replicated table scalars) that become
+            # varying through the body — semantically fine here
+            check_vma=False)
+        return fn(self.tables, self.put_batch(fwd), self.put_batch(rc),
+                  self.put_batch(lens))
+
+    def _merge_sharded_pack(self, h):
+        """Pull the shard-major packed arrays and remap to global rows
+        (shard s local row r: r < lb -> s*lb + r, else B + s*lb + r-lb);
+        occurrence offsets shift by each shard's pool base. Falls back
+        to a host re-pack of the dense seeds on any shard overflow."""
+        from .postseed import pack_seeds_host
+        cfg = self.cfg
+        nsh = self.mesh.devices.size
+        B = len(h["reads"])
+        lb = B // nsh
+        with phase_timer("device wait"):
+            packed = {k: np.asarray(v) for k, v in h["packed"].items()}
+        W = packed["row"].shape[0] // nsh
+        occ_l = packed["occ"].shape[0] // nsh
+        n_valid = packed["n_valid"]
+        n_occ = packed["n_occ"]
+        if (n_valid > W).any() or (n_occ > occ_l).any():
+            self.stats["seed_pack_overflow"] = (
+                self.stats.get("seed_pack_overflow", 0) + 1)
+            dense = {k: np.asarray(v) for k, v in h["seeds"].items()}
+            # dense rows are shard-major [s0 fwd, s0 rc, s1 fwd, ...];
+            # reorder to the global [fwd B, rc B] convention
+            perm = np.concatenate(
+                [np.arange(lb) + s * 2 * lb for s in range(nsh)]
+                + [np.arange(lb) + s * 2 * lb + lb for s in range(nsh)])
+            dense = {k: v[perm] for k, v in dense.items()}
+            return pack_seeds_host(dense)
+        parts = {k: [] for k in ("row", "slot", "len", "idx", "cnt", "off")}
+        for s in range(nsh):
+            nv = int(n_valid[s])
+            sl = slice(s * W, s * W + nv)
+            row_l = packed["row"][sl]
+            parts["row"].append(np.where(
+                row_l < lb, s * lb + row_l,
+                B + s * lb + (row_l - lb)).astype(np.int32))
+            parts["off"].append(packed["off"][sl] + s * occ_l)
+            for k in ("slot", "len", "idx", "cnt"):
+                parts[k].append(packed[k][sl])
+        out = {k: np.ascontiguousarray(np.concatenate(v))
+               for k, v in parts.items()}
+        out["occ"] = packed["occ"]
+        out["n_valid"] = np.int32(out["row"].shape[0])
+        out["n_occ"] = np.int32(int(n_occ.sum()))
+        out["S"] = int(h["seeds"]["len"].shape[1])
+        return out
 
     def _complete_native(self, h):
         """Native post-seed completion: pull the packed seeds (dense
         fallback when the pack budget overflowed), run the C++ runtime."""
         from .postseed import postseed_se, pack_seeds_host
+        if "packed_host" in h:   # cpu engine: already host-side
+            packed = h["packed_host"]
+            with phase_timer("native postseed"):
+                records, skipped = postseed_se(
+                    self.index, packed, h["fwd"], h["rc"], h["lens"],
+                    h["reads"], self.postseed_config(),
+                    liftidx=self.liftidx)
+            self.last_chains_skipped = [int(x) for x in skipped]
+            self.stats["processed"] += len(records)
+            self.stats["aligned"] += sum(
+                1 for r in records if not (r.flag & SAM_UNMAPPED))
+            return records
+        if h.get("sharded"):
+            packed = self._merge_sharded_pack(h)
+            with phase_timer("native postseed"):
+                records, skipped = postseed_se(
+                    self.index, packed, h["fwd"], h["rc"], h["lens"],
+                    h["reads"], self.postseed_config(),
+                    liftidx=self.liftidx)
+            self.last_chains_skipped = [int(x) for x in skipped]
+            self.stats["processed"] += len(records)
+            self.stats["aligned"] += sum(
+                1 for r in records if not (r.flag & SAM_UNMAPPED))
+            return records
         with phase_timer("device wait"):
             packed = {k: np.asarray(v) for k, v in h["packed"].items()}
         if (int(packed["n_valid"]) > packed["row"].shape[0]
@@ -336,7 +464,7 @@ class Aligner:
 
     def complete_batch(self, h):
         """Transfer device results, select, finalize, assemble SAM."""
-        if "seeds" in h:
+        if "seeds" in h or "packed_host" in h:
             return self._complete_native(h)
         cfg = self.cfg
         reads, dev = h["reads"], h["dev"]

@@ -233,13 +233,26 @@ class PairedAligner:
     # reference-faithful PE runtime (native/runtime.cpp)
     # ------------------------------------------------------------------
     def submit_pair_batch(self, batch1, batch2):
-        """Encode + dispatch the 4-lane device seed stage (async)."""
+        """Encode + dispatch the 4-lane seed stage (async on device;
+        synchronous on the cpu engine)."""
         from ..ops.occs import pack_seeds
         cfg = self.cfg
         al = self.al
         B, M = len(batch1), cfg.read_pad
         m1f, m1r, len1, _, _ = self._encode(batch1, M)
         m2f, m2r, len2, _, _ = self._encode(batch2, M)
+        if cfg.engine == "cpu":
+            from .cpu import cpu_seeds
+            with phase_timer("pe cpu seeds"):
+                packed = cpu_seeds(
+                    al.index,
+                    np.concatenate([m1f, m2r, m2f, m1r]).astype(np.int8),
+                    np.concatenate([len1, len2, len2, len1]),
+                    min_len=cfg.min_len, max_occs=cfg.max_occs,
+                    n_threads=cfg.postseed_threads)
+            return dict(batch1=batch1, batch2=batch2, packed_host=packed,
+                        m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
+                        len1=len1, len2=len2)
         with phase_timer("pe device dispatch"):
             lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
             lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
@@ -258,6 +271,8 @@ class PairedAligner:
 
     def _pull_packed(self, h):
         from ..align.postseed import pack_seeds_host
+        if "packed_host" in h:
+            return h["packed_host"]
         with phase_timer("pe device wait"):
             packed = {k: np.asarray(v) for k, v in h["packed"].items()}
         if (int(packed["n_valid"]) > packed["row"].shape[0]

@@ -196,6 +196,24 @@ def _params(cfg: PostseedConfig) -> SeParams:
     return p
 
 
+def config_from_align(cfg) -> "PostseedConfig":
+    """AlignConfig -> PostseedConfig (shared by the TPU and CPU engines)."""
+    return PostseedConfig(
+        min_len=cfg.min_len, check_k=cfg.check_k,
+        region_dist=cfg.region_dist, filter_freq=cfg.filter_freq,
+        freq_thr=cfg.freq_thr, secondary_chains=cfg.secondary_chains,
+        n_seeds_thr=cfg.n_seeds_thr, filter_seeds=cfg.filter_seeds,
+        left_mem_check=cfg.left_mem_check,
+        max_dist_x=cfg.chain.max_dist_x, max_dist_y=cfg.chain.max_dist_y,
+        max_iter=cfg.chain.max_iter, max_pred=cfg.chain.max_pred,
+        min_chain_score=cfg.chain.min_chain_score,
+        min_chain_length=cfg.chain.min_chain_length,
+        smatch=cfg.sw.smatch, smismatch=cfg.sw.smismatch,
+        gapo=cfg.sw.gapo, gape=cfg.sw.gape,
+        gapo2=cfg.sw.gapo2, gape2=cfg.sw.gape2,
+        ext_len=cfg.ext_len, n_threads=cfg.postseed_threads)
+
+
 class PeParams(ctypes.Structure):
     _pack_ = 8
     _fields_ = [

@@ -77,6 +77,7 @@ def _load_aligner(args):
         find_orphan=not getattr(args, "orphan_dis", False),
         secondary_chains=getattr(args, "secondary_chains", False),
         postseed=getattr(args, "extend_path", "native"),
+        engine=getattr(args, "engine", "tpu"),
         sw=SWParams(smatch=getattr(args, "smatch", 2),
                     smismatch=getattr(args, "smismatch", 4),
                     gapo=gapo, gape=gape, gapo2=gapo2, gape2=gape2),
@@ -105,6 +106,26 @@ def cmd_align(args):
     from .io import read_fastq_batches, read_paired_batches
     from .utils import timers
 
+    # multi-host data parallelism (SURVEY.md §2c): deterministic
+    # contiguous read ranges per host, per-host SAM shards, merge on
+    # host 0 — the reference's per-thread shard scheme across machines.
+    # jax.distributed must initialize BEFORE any other JAX use.
+    dist_n = getattr(args, "dist_nprocs", 1) or 1
+    dist_id = getattr(args, "dist_procid", 0) or 0
+    read_lo = read_hi = None
+    final_output = args.output
+    if dist_n > 1:
+        from .parallel import dist as dd
+        dd.init_distributed(getattr(args, "dist_coordinator",
+                                    "localhost:9981"), dist_n, dist_id)
+        total = dd.count_fastq_records(args.mate1 or args.pattern)
+        read_lo, read_hi = dd.host_read_range(total, dist_n, dist_id)
+        log(f"host {dist_id}/{dist_n}: reads [{read_lo}, {read_hi}) "
+            f"of {total}")
+        if not args.output:
+            raise SystemExit("--dist-nprocs requires -o output")
+        args.output = dd.shard_path(final_output, dist_id)
+
     aligner = _load_aligner(args)
     if getattr(args, "devices", 0) and args.devices > 1:
         mesh = aligner.enable_mesh(args.devices)
@@ -121,8 +142,40 @@ def cmd_align(args):
         log(f"resuming after {skip_batches} completed batches")
     out = (open(args.output, "a" if skip_batches else "w")
            if args.output else sys.stdout)
-    if not skip_batches:
-        out.write(aligner.header())
+    if not skip_batches and dist_n <= 1:
+        out.write(aligner.header())   # dist: header written at merge
+
+    def range_limit(gen):
+        """Clip a batch stream to this host's record range [lo, hi)."""
+        if read_lo is None:
+            yield from gen
+            return
+        seen = 0
+        for batch in gen:
+            b_lo, b_hi = seen, seen + len(batch)
+            seen = b_hi
+            if b_hi <= read_lo:
+                continue
+            if b_lo >= read_hi:
+                break
+            yield batch[max(0, read_lo - b_lo):
+                        min(len(batch), read_hi - b_lo)]
+
+    def range_limit_pairs(gen):
+        if read_lo is None:
+            yield from gen
+            return
+        seen = 0
+        for b1, b2 in gen:
+            b_lo, b_hi = seen, seen + len(b1)
+            seen = b_hi
+            if b_hi <= read_lo:
+                continue
+            if b_lo >= read_hi:
+                break
+            s = slice(max(0, read_lo - b_lo),
+                      min(len(b1), read_hi - b_lo))
+            yield b1[s], b2[s]
 
     def checkpoint(batches_done):
         if ckpt_path:
@@ -151,8 +204,8 @@ def cmd_align(args):
     if args.mate2:
         from .align.paired import PairedAligner
         paligner = PairedAligner(aligner)
-        batches = read_paired_batches(args.mate1, args.mate2,
-                                      args.batch_size)
+        batches = range_limit_pairs(read_paired_batches(
+            args.mate1, args.mate2, args.batch_size))
         native = (getattr(aligner.cfg, "postseed", "device") == "native"
                   and not report)
         learned = []
@@ -166,6 +219,9 @@ def cmd_align(args):
                 learned.append((b1, b2))
                 if paligner.learn_pair_batch(b1, b2):
                     break
+            if dist_n > 1:
+                from .parallel import dist as dd
+                dd.allreduce_welford(paligner.ins, dist_n)
             log(f"insert model: n={paligner.ins.count} "
                 f"mean={paligner.ins.mean:.1f} "
                 f"std={paligner.ins.std_dev:.2f}")
@@ -196,7 +252,8 @@ def cmd_align(args):
         log(f"done: {paligner.stats}")
     else:
         reads_file = args.mate1 or args.pattern
-        for batch in read_fastq_batches(reads_file, args.batch_size):
+        for batch in range_limit(read_fastq_batches(reads_file,
+                                                    args.batch_size)):
             bi += 1
             if bi <= skip_batches:
                 continue
@@ -220,6 +277,13 @@ def cmd_align(args):
         out.close()
         if ckpt_path and os.path.exists(ckpt_path):
             os.remove(ckpt_path)
+    if dist_n > 1:
+        from .parallel import dist as dd
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("monitpu_shard_merge")
+        if dist_id == 0:
+            dd.merge_shards(final_output, dist_n, aligner.header())
+            log(f"merged {dist_n} shards -> {final_output}")
     if csv_fd:
         csv_fd.close()
         log(f"wrote {args.csv}")
@@ -449,6 +513,15 @@ def main(argv=None):
                     default="native",
                     help="post-seed path: reference-faithful native "
                          "runtime (default) or all-on-TPU fitting path")
+    al.add_argument("--engine", choices=["tpu", "cpu"], default="tpu",
+                    help="seed-stage engine: TPU kernels (default) or "
+                         "the native CPU fallback/baseline")
+    al.add_argument("--dist-nprocs", type=int, default=1,
+                    help="multi-host: number of processes/hosts")
+    al.add_argument("--dist-procid", type=int, default=0,
+                    help="multi-host: this process's id")
+    al.add_argument("--dist-coordinator", default="localhost:9981",
+                    help="multi-host: jax.distributed coordinator")
     al.add_argument("--report-mems", action="store_true", dest="report_mems",
                     help="write MEM occurrences as SECONDARY records "
                     "instead of aligning")

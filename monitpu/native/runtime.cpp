@@ -745,8 +745,27 @@ struct SeedArrays {
   const int32_t* occ;   // flat pool
   int64_t n_seeds;
   int64_t S, K;         // slots per lane, parent slots (S == 3K)
-  std::vector<int64_t> rowstart;  // [2B + 1]
+  std::vector<int64_t> rowstart;  // [n_rows + 1]
+  std::vector<int32_t> order;     // record ids bucketed by row
 };
+
+// counting-sort records into per-row buckets (input order arbitrary —
+// sharded seed stages emit shard-interleaved rows)
+void bucket_rows(SeedArrays& sd, int64_t n_rows) {
+  sd.rowstart.assign(n_rows + 2, 0);
+  for (int64_t k = 0; k < sd.n_seeds; ++k) {
+    int64_t r = sd.row[k];
+    if (r >= 0 && r < n_rows) ++sd.rowstart[r + 1];
+  }
+  for (int64_t r = 0; r < n_rows + 1; ++r)
+    sd.rowstart[r + 1] += sd.rowstart[r];
+  sd.order.resize(sd.rowstart[n_rows]);
+  std::vector<int64_t> cur(sd.rowstart.begin(), sd.rowstart.end() - 1);
+  for (int64_t k = 0; k < sd.n_seeds; ++k) {
+    int64_t r = sd.row[k];
+    if (r >= 0 && r < n_rows) sd.order[cur[r]++] = int32_t(k);
+  }
+}
 
 // Build the oracle-ordered mem list for read b: fwd parents, rc
 // parents, then (left, right) halves per parent in that order. Applies
@@ -761,8 +780,10 @@ void build_mems(const Ctx& c, const SeedArrays& sd, int64_t B, int64_t b,
   slotmap.assign(2 * sd.S, -1);
   for (int lane = 0; lane < 2; ++lane) {
     int64_t r = lane == 0 ? b : B + b;
-    for (int64_t k = sd.rowstart[r]; k < sd.rowstart[r + 1]; ++k)
-      slotmap[lane * sd.S + sd.slot[k]] = int32_t(k);
+    for (int64_t q = sd.rowstart[r]; q < sd.rowstart[r + 1]; ++q) {
+      int32_t k = sd.order[q];
+      slotmap[lane * sd.S + sd.slot[k]] = k;
+    }
   }
   struct Parent {
     int lane;
@@ -1177,8 +1198,10 @@ void build_mems_pe(const Ctx& c, const PeParams& pp, const SeedArrays& sd,
   s.slotmap.assign(4 * sd.S, -1);
   for (int l = 0; l < 4; ++l) {
     int64_t r = lanes[l].row;
-    for (int64_t k = sd.rowstart[r]; k < sd.rowstart[r + 1]; ++k)
-      s.slotmap[l * sd.S + sd.slot[k]] = int32_t(k);
+    for (int64_t q = sd.rowstart[r]; q < sd.rowstart[r + 1]; ++q) {
+      int32_t k = sd.order[q];
+      s.slotmap[l * sd.S + sd.slot[k]] = k;
+    }
   }
   auto add_seed = [&](int lane, int64_t slot) {
     int32_t k = s.slotmap[lane * sd.S + slot];
@@ -1973,15 +1996,8 @@ int monitpu_postseed_se(
   Ctx c{text,    n,       seq_starts, nseq,   lift_hs,
         lift_rs, lift_ins, lift_se,    n_lift, prm};
   SeedArrays sd{s_row, s_slot, s_len, s_idx, s_cnt, s_off, s_occ,
-                n_seeds, S, K, {}};
-  // per-row record ranges (rows arrive sorted ascending)
-  sd.rowstart.assign(2 * B + 2, 0);
-  for (int64_t k = 0; k < n_seeds; ++k) {
-    int64_t r = s_row[k];
-    if (r >= 0 && r < 2 * B) ++sd.rowstart[r + 1];
-  }
-  for (int64_t r = 0; r < 2 * B + 1; ++r)
-    sd.rowstart[r + 1] += sd.rowstart[r];
+                n_seeds, S, K, {}, {}};
+  bucket_rows(sd, 2 * B);
   SeOut out{o_flag,       o_rname,       o_pos,        o_as,
             o_zs,         o_nm,          o_rlen,       o_cigar,
             o_ncigar,     o_md,          o_lift_rname, o_lift_pos,
@@ -2049,14 +2065,8 @@ int monitpu_postseed_pe(
   Ctx c{text,    n,        seq_starts, nseq,   lift_hs,
         lift_rs, lift_ins, lift_se,    n_lift, &prm->se};
   SeedArrays sd{s_row, s_slot, s_len, s_idx, s_cnt, s_off, s_occ,
-                n_seeds, S, K, {}};
-  sd.rowstart.assign(4 * B + 2, 0);
-  for (int64_t k = 0; k < n_seeds; ++k) {
-    int64_t r = s_row[k];
-    if (r >= 0 && r < 4 * B) ++sd.rowstart[r + 1];
-  }
-  for (int64_t r = 0; r < 4 * B + 1; ++r)
-    sd.rowstart[r + 1] += sd.rowstart[r];
+                n_seeds, S, K, {}, {}};
+  bucket_rows(sd, 4 * B);
   SeOut se_out{o_flag,       o_rname,       o_pos,        o_as,
                o_zs,         o_nm,          o_rlen,       o_cigar,
                o_ncigar,     o_md,          o_lift_rname, o_lift_pos,

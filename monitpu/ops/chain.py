@@ -30,8 +30,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG = jnp.int32(-(2**30))
+NEG = np.int32(-(2**30))  # plain numpy: no backend init at import
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(-(2**28))
+NEG = np.int32(-(2**28))  # plain numpy: no backend init at import
 SEP_SCORE = -(2**14)
 
 

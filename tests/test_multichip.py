@@ -1,0 +1,88 @@
+"""Multi-chip data parallelism: full pipeline on an 8-device mesh must
+be bit-identical to the single-device run.
+
+The seed stage runs under shard_map (Aligner._seed_stage_sharded) so
+every worklist compaction stays shard-local — the scaling-correctness
+property VERDICT r1 flagged (batch-global cumsums caused involuntary
+full rematerialization across shards). These tests assert end-to-end
+SAM equality, which subsumes the kernel-level parity.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from monitpu.index import build_index, decode_seq
+from monitpu.index.alphabet import revcomp_codes
+from monitpu.align.aligner import Aligner, AlignConfig
+
+FIELDS = ["flag", "rname", "pos", "cigar", "asc", "md", "nm", "mapq",
+          "zs", "lift_pos", "lift_cigar"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(41)
+    base = rng.integers(1, 5, size=40_000, dtype=np.int8)
+    seqs = []
+    for h in range(3):
+        s = base.copy()
+        p = rng.integers(0, s.size, size=s.size // 130)
+        s[p] = rng.integers(1, 5, size=p.size)
+        seqs.append(s)
+    idx = build_index(seqs, names=[f"h{i}" for i in range(3)],
+                      already_encoded=True)
+    reads = []
+    L = 120
+    for i in range(64):  # multiple of 8 devices
+        hap = int(rng.integers(0, 3))
+        start = int(rng.integers(0, len(seqs[hap]) - L - 20))
+        codes = seqs[hap][start:start + L].copy()
+        for _ in range(2):
+            p = int(rng.integers(5, L - 5))
+            codes[p] = ((codes[p] + 1 - 1) % 4) + 1
+        if i % 3 == 0:  # indel
+            p = int(rng.integers(20, L - 20))
+            codes = np.concatenate(
+                [codes[:p], seqs[hap][start + L:start + L + 3],
+                 codes[p + 3:]])
+        if i % 2:
+            codes = revcomp_codes(codes.astype(np.int8))
+        reads.append((f"r{i}", decode_seq(codes), "I" * len(codes)))
+    return idx, reads
+
+
+def test_sharded_seed_stage_parity(setup):
+    idx, reads = setup
+    assert len(jax.devices("cpu")) >= 8, "conftest must force 8 devices"
+    cfg = AlignConfig(max_occs=64, postseed_threads=2)
+    single = Aligner(idx, cfg).align_batch(reads)
+
+    sharded = Aligner(idx, cfg)
+    mesh = sharded.enable_mesh(8)
+    assert mesh.devices.size == 8
+    recs = sharded.align_batch(reads)
+    diffs = [(s.qname, f, getattr(s, f), getattr(m, f))
+             for s, m in zip(single, recs) for f in FIELDS
+             if getattr(s, f) != getattr(m, f)]
+    assert not diffs, f"{len(diffs)} diffs: {diffs[:10]}"
+    mapped = sum(1 for r in recs if not (r.flag & 4))
+    assert mapped >= len(reads) - 2
+
+
+def test_sharded_overflow_fallback(setup):
+    """Tiny pack budgets force every batch through the dense fallback;
+    results must still be identical (and the overflow counted)."""
+    idx, reads = setup
+    cfg = AlignConfig(max_occs=64, postseed_threads=2)
+    single = Aligner(idx, cfg).align_batch(reads)
+    tight = AlignConfig(max_occs=64, postseed_threads=2,
+                        pack_seeds_per_read=1, pack_occs_per_read=1)
+    sharded = Aligner(idx, tight)
+    sharded.enable_mesh(8)
+    recs = sharded.align_batch(reads)
+    assert sharded.stats.get("seed_pack_overflow", 0) >= 1
+    diffs = [(s.qname, f) for s, m in zip(single, recs) for f in FIELDS
+             if getattr(s, f) != getattr(m, f)]
+    assert not diffs, diffs[:10]
