@@ -138,14 +138,16 @@ def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
     lanes = jnp.concatenate([fwd, rc], axis=0)
     lens2 = jnp.concatenate([lens, lens], axis=0)
     with phase_timer("  find_mems", sync=lambda: mems):
-        mems = find_mems_batch(tables, lanes, lens2,
-                               max_mems=cfg.max_mems, min_len=cfg.min_len,
-                               work_per_read=cfg.lce_work or 96)
+        *mems, _ctr = find_mems_batch(tables, lanes, lens2,
+                                      max_mems=cfg.max_mems,
+                                      min_len=cfg.min_len,
+                                      work_per_read=cfg.lce_work or 96)
     mp, ml, mi, mc = mems
     with phase_timer("  seeds", sync=lambda: seeds):
         seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
                                      max_occs=cfg.max_occs,
                                      min_len=cfg.min_len)
+        seeds.pop("occ_capped", None)
     with phase_timer("  chain", sync=lambda: chains):
         anchors, chains = _merge_filter_chain(tables, seeds, B, cfg)
     with phase_timer("  score", sync=lambda: out):
@@ -277,26 +279,31 @@ class Aligner:
             from ..ops.occs import pack_seeds
             if self.mesh is not None:
                 with phase_timer("device dispatch (sharded)"):
-                    seeds, packed = self._seed_stage_sharded(fwd, rc, lens)
+                    seeds, packed, ctrs = self._seed_stage_sharded(
+                        fwd, rc, lens)
                 return dict(reads=reads, seeds=seeds, packed=packed,
                             sharded=True, fwd=fwd, rc=rc, lens=lens,
-                            fcodes=fcodes, rcodes=rcodes)
+                            fcodes=fcodes, rcodes=rcodes, ctrs=ctrs)
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
                     [self.put_batch(fwd), self.put_batch(rc)], axis=0)
                 lens2 = jnp.concatenate([self.put_batch(lens)] * 2, axis=0)
-                mems = find_mems_batch(
+                *mems, mctr = find_mems_batch(
                     self.tables, lanes, lens2, max_mems=cfg.max_mems,
                     min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
                 seeds = populate_seeds_batch(
                     self.tables, *mems, max_occs=cfg.max_occs,
                     min_len=cfg.min_len)
+                occ_capped = seeds.pop("occ_capped")
+                ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
+                                  occ_capped])
                 # compact for transfer: the dense arrays are ~97% padding
                 # and the device->host link is the bottleneck
                 packed = pack_seeds(seeds, W=cfg.pack_seeds_per_read * B,
                                     occ_cap=cfg.pack_occs_per_read * B)
             return dict(reads=reads, seeds=seeds, packed=packed, fwd=fwd,
-                        rc=rc, lens=lens, fcodes=fcodes, rcodes=rcodes)
+                        rc=rc, lens=lens, fcodes=fcodes, rcodes=rcodes,
+                        ctrs=ctrs)
 
         with phase_timer("device dispatch"):
             dev = _device_pipeline(self.tables, self.put_batch(fwd),
@@ -335,15 +342,17 @@ class Aligner:
         def stage(tables, fwd_l, rc_l, lens_l):
             lanes = jnp.concatenate([fwd_l, rc_l], axis=0)
             lens2 = jnp.concatenate([lens_l, lens_l], axis=0)
-            mems = find_mems_batch(
+            *mems, mctr = find_mems_batch(
                 tables, lanes, lens2, max_mems=cfg.max_mems,
                 min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
             seeds = populate_seeds_batch(
                 tables, *mems, max_occs=cfg.max_occs, min_len=cfg.min_len)
+            ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
+                              seeds.pop("occ_capped")])
             packed = pack_seeds(seeds, W=W, occ_cap=occ_cap)
             packed["n_valid"] = packed["n_valid"][None]
             packed["n_occ"] = packed["n_occ"][None]
-            return seeds, packed
+            return seeds, packed, ctrs
 
         tspec = jax.tree_util.tree_map(lambda _: P(), self.tables)
         fn = shard_map(
@@ -355,7 +364,8 @@ class Aligner:
                 jax.tree_util.tree_map(
                 lambda _: P(READS_AXIS),
                 {"row": 0, "slot": 0, "len": 0, "idx": 0, "cnt": 0,
-                 "off": 0, "occ": 0, "n_valid": 0, "n_occ": 0})),
+                 "off": 0, "occ": 0, "n_valid": 0, "n_occ": 0}),
+                P(READS_AXIS)),
             # the stage is embarrassingly parallel; the varying-manual-
             # axes checker rejects unvarying scan/while carry inits
             # (e.g. pos0 from replicated table scalars) that become
@@ -410,10 +420,23 @@ class Aligner:
         out["S"] = int(h["seeds"]["len"].shape[1])
         return out
 
+    def _accumulate_ctrs(self, h):
+        """Truncation counters (LCE pool, MEM cap, occ-walk cap) into
+        stats — non-zero means pools should be resized (-> AlignConfig
+        max_mems / max_occs / lce_work)."""
+        if "ctrs" not in h:
+            return
+        c = np.asarray(h["ctrs"]).reshape(-1, 3).sum(axis=0)
+        for i, k in enumerate(("lce_overflow", "mem_overflow",
+                               "occ_walk_capped")):
+            if c[i]:
+                self.stats[k] = self.stats.get(k, 0) + int(c[i])
+
     def _complete_native(self, h):
         """Native post-seed completion: pull the packed seeds (dense
         fallback when the pack budget overflowed), run the C++ runtime."""
         from .postseed import postseed_se, pack_seeds_host
+        self._accumulate_ctrs(h)
         if "packed_host" in h:   # cpu engine: already host-side
             packed = h["packed_host"]
             with phase_timer("native postseed"):
@@ -602,12 +625,14 @@ class Aligner:
             rcs.append(decode_seq(r))
         lanes = jnp.asarray(np.concatenate([fwd, rc]))
         lens2 = jnp.asarray(np.concatenate([lens, lens]))
-        mems = find_mems_batch(self.tables, lanes, lens2,
-                               max_mems=cfg.max_mems, min_len=cfg.min_len,
-                               work_per_read=cfg.lce_work or 96)
+        *mems, _ctr = find_mems_batch(self.tables, lanes, lens2,
+                                      max_mems=cfg.max_mems,
+                                      min_len=cfg.min_len,
+                                      work_per_read=cfg.lce_work or 96)
         seeds = populate_seeds_batch(self.tables, *mems,
                                      max_occs=cfg.max_occs,
                                      min_len=cfg.min_len)
+        seeds.pop("occ_capped", None)
         return {k: np.asarray(v) for k, v in seeds.items()}, rcs
 
     def report_mems_batch(self, reads):

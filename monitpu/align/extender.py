@@ -99,7 +99,7 @@ class Extender:
         with phase_timer("extend device"):
             lanes = jnp.asarray(np.concatenate([fwd, rc]))
             lens2 = jnp.asarray(np.concatenate([lens, lens]))
-            mp, ml, mi, mc = find_mems_batch(
+            mp, ml, mi, mc, _ctr = find_mems_batch(
                 al.tables, lanes, lens2, max_mems=cfg.max_mems,
                 min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
             # longest MEM per lane (find_longest_mem; ties -> leftmost,

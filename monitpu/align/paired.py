@@ -256,18 +256,20 @@ class PairedAligner:
         with phase_timer("pe device dispatch"):
             lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
             lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
-            mems = find_mems_batch(al.tables, lanes, lensx,
-                                   max_mems=cfg.max_mems,
-                                   min_len=cfg.min_len,
-                                   work_per_read=cfg.lce_work or 96)
+            *mems, mctr = find_mems_batch(al.tables, lanes, lensx,
+                                          max_mems=cfg.max_mems,
+                                          min_len=cfg.min_len,
+                                          work_per_read=cfg.lce_work or 96)
             seeds = populate_seeds_batch(al.tables, *mems,
                                          max_occs=cfg.max_occs,
                                          min_len=cfg.min_len)
+            ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
+                              seeds.pop("occ_capped")])
             packed = pack_seeds(seeds, W=2 * cfg.pack_seeds_per_read * B,
                                 occ_cap=2 * cfg.pack_occs_per_read * B)
         return dict(batch1=batch1, batch2=batch2, seeds=seeds,
                     packed=packed, m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
-                    len1=len1, len2=len2)
+                    len1=len1, len2=len2, ctrs=ctrs)
 
     def _pull_packed(self, h):
         from ..align.postseed import pack_seeds_host
@@ -309,6 +311,8 @@ class PairedAligner:
 
     def complete_pair_batch(self, h):
         from ..align.postseed import postseed_pe
+        if "ctrs" in h:
+            self.al._accumulate_ctrs(h)
         batch1, batch2 = h["batch1"], h["batch2"]
         packed = self._pull_packed(h)
         with phase_timer("pe native postseed"):
@@ -343,12 +347,13 @@ class PairedAligner:
         with phase_timer("pe device pipeline"):
             lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
             lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
-            mp, ml, mi, mc = find_mems_batch(
+            mp, ml, mi, mc, _ctr = find_mems_batch(
                 self.al.tables, lanes, lensx, max_mems=cfg.max_mems,
                 min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
             seeds = populate_seeds_batch(
                 self.al.tables, mp, ml, mi, mc, max_occs=cfg.max_occs,
                 min_len=cfg.min_len)
+            seeds.pop("occ_capped", None)
             anchors, chains = _pe_merge_filter_chain(
                 self.al.tables, seeds, jnp.asarray(len1), jnp.asarray(len2),
                 B, cfg.max_mems, cfg)
@@ -387,12 +392,14 @@ class PairedAligner:
         m2f, m2r, len2, _, _ = self._encode(batch2, M)
         lanes = jnp.asarray(np.concatenate([m1f, m2r, m2f, m1r]))
         lensx = jnp.asarray(np.concatenate([len1, len2, len2, len1]))
-        mems = find_mems_batch(self.al.tables, lanes, lensx,
-                               max_mems=cfg.max_mems, min_len=cfg.min_len,
-                               work_per_read=cfg.lce_work or 96)
+        *mems, _ctr = find_mems_batch(self.al.tables, lanes, lensx,
+                                      max_mems=cfg.max_mems,
+                                      min_len=cfg.min_len,
+                                      work_per_read=cfg.lce_work or 96)
         seeds = populate_seeds_batch(self.al.tables, *mems,
                                      max_occs=cfg.max_occs,
                                      min_len=cfg.min_len)
+        seeds.pop("occ_capped", None)
         return {k: np.asarray(v) for k, v in seeds.items()}
 
     def report_mems_pair_batch(self, batch1, batch2):

@@ -410,7 +410,7 @@ def cmd_mems(args):
             codes = encode_seq(s)
             reads[b, :len(codes)] = codes
             lens[b] = len(codes)
-        mp, ml, mi, mc = find_mems_batch(tables, jnp.asarray(reads),
+        mp, ml, mi, mc, mctr = find_mems_batch(tables, jnp.asarray(reads),
                                          jnp.asarray(lens),
                                          max_mems=args.max_mems,
                                          min_len=args.min_len)

@@ -261,13 +261,16 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
     """MEMs per read: positions where the match is maximal
     (seed_finder.hpp:149-157: l >= pl, not all-N, l >= min_len).
 
-    Returns (mem_ptr, mem_len, mem_idx, mem_count):
+    Returns (mem_ptr, mem_len, mem_idx, mem_count, counters):
       mem_ptr  int32[B, max_mems]   text position
       mem_len  int32[B, max_mems]
       mem_idx  int32[B, max_mems]   read offset
       mem_count int32[B]            (clipped at max_mems)
-    MEMs are emitted left-to-right; overflow beyond max_mems is dropped
-    (counted in mem_count clip)."""
+      counters dict of int32 scalars: lce_dropped (needy LCE positions
+        beyond the worklist pool -> approximate lengths), mem_dropped
+        (MEMs beyond max_mems). Non-zero counters mean results may
+        silently diverge from the unbounded reference — callers surface
+        them (Aligner.stats) so pools can be resized."""
     B, M = reads.shape
     ptr = ms_pointers_batch(tables, reads, read_lens)
     lens = ms_lengths_batch(tables, reads, read_lens, ptr,
@@ -286,8 +289,17 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
     mask = cols < read_lens[:, None]
     is_mem = is_mem & mask
 
+    # overflow accounting (VERDICT r1: silent truncation)
+    prev_ptr = jnp.pad(ptr, ((0, 0), (1, 0)), constant_values=-2)[:, :M]
+    needy_total = jnp.sum((ptr != prev_ptr + 1) & mask)
+    lce_dropped = jnp.maximum(
+        needy_total - work_per_read * B, 0).astype(jnp.int32)
+
     slot = jnp.cumsum(is_mem.astype(jnp.int32), axis=1) - 1
-    mem_count = jnp.minimum(slot[:, -1] + 1, max_mems)
+    raw_count = slot[:, -1] + 1
+    mem_dropped = jnp.sum(jnp.maximum(raw_count - max_mems, 0)).astype(
+        jnp.int32)
+    mem_count = jnp.minimum(raw_count, max_mems)
     slot = jnp.where(is_mem & (slot < max_mems), slot, max_mems)  # drop lane
     rows = jnp.arange(B)[:, None].repeat(M, 1)
     mem_ptr = jnp.zeros((B, max_mems + 1), jnp.int32).at[rows, slot].set(
@@ -296,7 +308,8 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
         lens, mode="drop")[:, :max_mems]
     mem_idx = jnp.zeros((B, max_mems + 1), jnp.int32).at[rows, slot].set(
         cols + jnp.zeros_like(lens), mode="drop")[:, :max_mems]
-    return mem_ptr, mem_len, mem_idx, mem_count
+    return mem_ptr, mem_len, mem_idx, mem_count, {
+        "lce_dropped": lce_dropped, "mem_dropped": mem_dropped}
 
 
 TEXT_PAD = 4096    # slack so window/LCE slice-gathers never clamp

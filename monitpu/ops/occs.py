@@ -122,7 +122,11 @@ def enumerate_occs(tables, up_start, down_start, length, active,
     occs, cnt, far_up = walk(occs, cnt, up_start, phi_batch, tables["sa0"])
     occs, cnt, far_dn = walk(occs, cnt, down_start, phi_inv_batch,
                              tables["sa_last"])
-    return occs[:, :max_occs], cnt, far_up, far_dn
+    # cap accounting: a lane that filled all max_occs slots may have
+    # been truncated mid-walk (the reference enumerates unboundedly,
+    # seed_finder.hpp:169-239) — counted, surfaced via Aligner.stats
+    capped = active & (length > 0) & (cnt >= max_occs)
+    return occs[:, :max_occs], cnt, far_up, far_dn, capped
 
 
 from .ms import _compact
@@ -161,7 +165,7 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     W1 = occs_work * B
     src1, act1 = _compact(valid, W1)
     onesW = jnp.ones((W1,), bool)
-    occs_w, cnt_w, fup_w, fdn_w = enumerate_occs(
+    occs_w, cnt_w, fup_w, fdn_w, cap_w = enumerate_occs(
         tables, ptr[src1], ptr[src1], mlen[src1], act1, onesW, max_occs)
     occs = _scatter_rows(src1, act1, occs_w, L)
     cnt = _scatter_rows(src1, act1, cnt_w, L)
@@ -185,7 +189,7 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     h_up = jnp.where(is_left, upper[p], ptr[p] + ll[p])
     h_dn = jnp.where(is_left, lower_eff[p], ptr[p] + ll[p])
     h_len = jnp.where(is_left, ll[p], lr[p])
-    hocc_w, hcnt_w, _, _ = enumerate_occs(
+    hocc_w, hcnt_w, _, _, hcap_w = enumerate_occs(
         tables, h_up, h_dn, h_len, act2, jnp.ones((W2,), bool), max_occs)
     # halves flat layout: [0, L) left-of-parent-l, [L, 2L) right-of-l
     dest = jnp.where(act2, jnp.where(is_left, p, L + p), 2 * L)
@@ -201,8 +205,11 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
                                 bc.reshape(2, B, K).transpose(1, 0, 2)
                                 .reshape(B, 2 * K)], axis=1)
 
+    occ_capped = (jnp.sum(cap_w & act1) + jnp.sum(hcap_w & act2)).astype(
+        jnp.int32)
     seed_cnt = cat1(cnt, hcnt)
     return {
+        "occ_capped": occ_capped,
         "occs": jnp.concatenate(
             [occs.reshape(B, K, max_occs),
              hocc.reshape(2, B, K, max_occs).transpose(1, 0, 2, 3)

@@ -92,7 +92,7 @@ def test_find_mems_parity(rng):
     tables = prepare_tables(idx)
     reads, lens = make_batch(rng, idx, B=16, M=80)
     min_len = 10
-    mp, ml, mi, mc = find_mems_batch(tables, jnp.asarray(reads),
+    mp, ml, mi, mc, _ = find_mems_batch(tables, jnp.asarray(reads),
                                      jnp.asarray(lens),
                                      max_mems=16, min_len=min_len,
                                      work_per_read=reads.shape[1])
@@ -113,7 +113,7 @@ def test_find_mems_exact_read_has_full_mem(rng):
     read = t[s:s + L].astype(np.int32)
     assert np.all(read != 0)
     reads = read[None, :]
-    mp, ml, mi, mc = find_mems_batch(
+    mp, ml, mi, mc, _ = find_mems_batch(
         tables, jnp.asarray(reads), jnp.asarray([L], dtype=np.int32),
         max_mems=8, min_len=20)
     assert int(mc[0]) >= 1

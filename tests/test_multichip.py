@@ -86,3 +86,16 @@ def test_sharded_overflow_fallback(setup):
     diffs = [(s.qname, f) for s, m in zip(single, recs) for f in FIELDS
              if getattr(s, f) != getattr(m, f)]
     assert not diffs, diffs[:10]
+
+
+def test_overflow_counters_surface(setup):
+    """Deliberately tiny pools: the truncation counters must fire and
+    surface in Aligner.stats (VERDICT r1: no silent truncation)."""
+    idx, reads = setup
+    tight = AlignConfig(max_occs=2, max_mems=2, lce_work=4,
+                        postseed_threads=2)
+    al = Aligner(idx, tight)
+    al.align_batch(reads)
+    assert al.stats.get("lce_overflow", 0) > 0
+    assert al.stats.get("mem_overflow", 0) > 0
+    assert al.stats.get("occ_walk_capped", 0) > 0

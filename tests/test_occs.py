@@ -55,7 +55,7 @@ def test_enumerate_occs_vs_brute(rng):
     starts = np.asarray(starts, np.int32)
     lens = np.asarray(lens, np.int32)
     active = np.ones(len(starts), bool)
-    occs, cnt, _, _ = enumerate_occs(
+    occs, cnt, _, _, _ = enumerate_occs(
         tables, jnp.asarray(starts), jnp.asarray(starts), jnp.asarray(lens),
         jnp.asarray(active), jnp.asarray(active), max_occs=64)
     occs, cnt = map(np.asarray, (occs, cnt))
@@ -80,7 +80,7 @@ def test_populate_seeds_covers_parent_and_halves(rng):
     assert np.all(read != 0)
     reads = jnp.asarray(read[None, :])
     rl = jnp.asarray([L], dtype=np.int32)
-    mp, ml, mi, mc = find_mems_batch(tables, reads, rl, max_mems=8,
+    mp, ml, mi, mc, _ = find_mems_batch(tables, reads, rl, max_mems=8,
                                      min_len=20)
     seeds = populate_seeds_batch(tables, mp, ml, mi, mc, max_occs=32,
                                  min_len=20)

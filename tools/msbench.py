@@ -48,6 +48,6 @@ ptr = t("ms_pointers", lambda: ms_pointers_batch(tables, reads, lens))
 t("ms_lengths", lambda: ms_lengths_batch(tables, reads, lens, ptr))
 mems = t("find_mems(all)", lambda: find_mems_batch(tables, reads, lens,
                                                    max_mems=12, min_len=25))
-mp, ml, mi, mc = mems
+mp, ml, mi, mc, _ctr = mems
 t("seeds", lambda: populate_seeds_batch(tables, mp, ml, mi, mc,
                                         max_occs=32, min_len=25))
