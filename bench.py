@@ -80,12 +80,76 @@ def sample_reads(idx, n_reads, rng):
     return reads
 
 
+def sample_pairs(idx, n_pairs, rng, insert_lo=250, insert_hi=400):
+    from monitpu.index.alphabet import decode_seq, revcomp_codes
+    text = idx.text
+    starts = np.asarray(idx.seq_starts)
+    b1, b2 = [], []
+    L = READ_LEN
+    for i in range(n_pairs):
+        hap = int(rng.integers(0, len(starts) - 1))
+        ins = int(rng.integers(insert_lo, insert_hi))
+        lo, hi = int(starts[hap]), int(starts[hap + 1]) - 1 - ins
+        s = int(rng.integers(lo, hi))
+        frag = text[s:s + ins]
+        m1 = frag[:L].copy()
+        m2 = revcomp_codes(frag[-L:].copy())
+        for codes in (m1, m2):
+            p = rng.integers(0, L, size=max(1, int(0.005 * L)))
+            codes[p] = rng.integers(1, 5, size=p.size)
+        b1.append((f"p{i}/1", decode_seq(m1), "I" * L))
+        b2.append((f"p{i}/2", decode_seq(m2), "I" * L))
+    return b1, b2
+
+
+def bench_pe(idx, rng, n_pairs, batch):
+    """Paired-end throughput (the reference's headline mode)."""
+    from monitpu.align.aligner import Aligner, AlignConfig
+    from monitpu.align.paired import PairedAligner
+    pal = PairedAligner(Aligner(idx, AlignConfig()))
+    b1, b2 = sample_pairs(idx, n_pairs, rng)
+    t0 = time.time()
+    pal.learn_pair_batch(b1[:batch], b2[:batch])
+    log(f"PE learn+compile: {time.time()-t0:.1f}s "
+        f"(ins n={pal.ins.count} mean={pal.ins.mean:.0f} "
+        f"std={pal.ins.std_dev:.1f})")
+    pal.align_pair_batch(b1[:batch], b2[:batch])  # warm align path
+    t0 = time.time()
+    done = aligned = 0
+    pending = None
+    for off in range(batch, n_pairs, batch):
+        c1, c2 = b1[off:off + batch], b2[off:off + batch]
+        if len(c1) < batch:
+            break
+        h = pal.submit_pair_batch(c1, c2)
+        if pending is not None:
+            recs = pal.complete_pair_batch(pending)
+            done += len(recs) // 2
+            aligned += sum(not (r.flag & 4) for r in recs) // 2
+        pending = h
+    if pending is not None:
+        recs = pal.complete_pair_batch(pending)
+        done += len(recs) // 2
+        aligned += sum(not (r.flag & 4) for r in recs) // 2
+    dt = time.time() - t0
+    log(f"PE: {done} pairs in {dt:.2f}s -> {done/dt:.0f} pairs/s "
+        f"({aligned}/{done} aligned)")
+    return done / dt
+
+
 def main():
+    import contextlib
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
+
+    # observability: MONITPU_TRACE=<dir> captures a jax profiler trace
+    # of the measured loop (the MTIME/malloc_count analog, SURVEY.md §5)
+    trace_dir = os.environ.get("MONITPU_TRACE")
+    trace_cm = (jax.profiler.trace(trace_dir) if trace_dir
+                else contextlib.nullcontext())
 
     from monitpu.align.aligner import Aligner, AlignConfig
 
@@ -120,24 +184,44 @@ def main():
     n_done = 0
     aligned = 0
     pending = None      # double-buffer: device computes k+1 during host k
-    for off in range(BATCH, N_READS, BATCH):
-        chunk = reads[off:off + BATCH]
-        if len(chunk) < BATCH:
-            break
-        handle = aligner.submit_batch(chunk)
+    with trace_cm:
+        for off in range(BATCH, N_READS, BATCH):
+            chunk = reads[off:off + BATCH]
+            if len(chunk) < BATCH:
+                break
+            handle = aligner.submit_batch(chunk)
+            if pending is not None:
+                recs = aligner.complete_batch(pending)
+                n_done += len(recs)
+                aligned += sum(not (r.flag & 4) for r in recs)
+            pending = handle
         if pending is not None:
             recs = aligner.complete_batch(pending)
             n_done += len(recs)
             aligned += sum(not (r.flag & 4) for r in recs)
-        pending = handle
-    if pending is not None:
-        recs = aligner.complete_batch(pending)
-        n_done += len(recs)
-        aligned += sum(not (r.flag & 4) for r in recs)
     dt = time.time() - t0
+    if trace_dir:
+        log(f"profiler trace written to {trace_dir}")
+    for k in ("lce_overflow", "mem_overflow", "occ_walk_capped",
+              "seed_pack_overflow"):
+        if aligner.stats.get(k):
+            log(f"counter {k}: {aligner.stats[k]}")
+    # device memory observability (malloc_count_peak analog)
+    try:
+        ms = jax.devices()[0].memory_stats()
+        if ms:
+            log(f"device memory: in_use={ms.get('bytes_in_use', 0)/1e6:.0f}MB "
+                f"peak={ms.get('peak_bytes_in_use', 0)/1e6:.0f}MB")
+    except Exception:
+        pass
     rps = n_done / dt
     log(f"{n_done} reads in {dt:.2f}s -> {rps:.0f} reads/s "
         f"({aligned}/{n_done} aligned)")
+
+    pe_pps = None
+    if os.environ.get("BENCH_PE"):
+        pe_pps = bench_pe(idx, np.random.default_rng(7),
+                          int(os.environ.get("BENCH_PAIRS", 8192)), BATCH)
 
     print(json.dumps({
         "metric": "align_reads_per_sec_1chip",
@@ -146,6 +230,7 @@ def main():
         "vs_baseline": round(rps / cpu_rps, 3),
         "cpu_baseline_rps": round(cpu_rps, 1),
         "cpu_cores": ncpu,
+        **({"pe_pairs_per_sec": round(pe_pps, 1)} if pe_pps else {}),
     }))
 
 

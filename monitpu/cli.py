@@ -442,6 +442,81 @@ def cmd_ra(args):
     print(random_access(idx, args.positions))
 
 
+def cmd_swcheck(args):
+    """Kernel-vs-kernel SW comparator (the utils/ksw_ksw2_global.cpp
+    analog): cross-validates the TPU fitting-SW kernel (ops/sw.py,
+    associative-scan affine DP) against the independent native C++
+    implementation (native/swalign.cpp) on random query/window pairs,
+    and the native extz kernel against a NumPy corner-score DP."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .ops.sw import sw_fit, SWParams
+    from .native import swalign
+    from .oracle import ksw2
+
+    rng = np.random.default_rng(args.seed)
+    n, Q, T = args.num, args.qlen, args.tlen
+    queries = rng.integers(1, 5, size=(n, Q)).astype(np.int32)
+    targets = np.zeros((n, T), np.int32)
+    for i in range(n):
+        t = rng.integers(1, 5, size=T)
+        # embed a mutated copy of the query so fits are non-trivial
+        off = int(rng.integers(0, T - Q))
+        t[off:off + Q] = queries[i]
+        p = rng.integers(0, Q, size=max(1, Q // 20))
+        t[off + p] = rng.integers(1, 5, size=p.size)
+        targets[i] = t
+    qlens = np.full(n, Q, np.int32)
+    tlens = np.full(n, T, np.int32)
+    p = SWParams()
+
+    dev = sw_fit(jnp.asarray(queries), jnp.asarray(qlens),
+                 jnp.asarray(targets), jnp.asarray(tlens), p)
+    dscore = np.asarray(dev["score"])
+    nat = swalign.fit_align_batch(queries.astype(np.int8), qlens,
+                                  targets.astype(np.int8), tlens,
+                                  np.ones(n, bool), smatch=p.smatch,
+                                  smismatch=p.smismatch, gapo=p.gapo,
+                                  gape=p.gape)
+    nscore = np.asarray(nat["score"])
+    bad = np.flatnonzero(dscore != nscore)
+    log(f"fitting SW: device vs native scores agree on "
+        f"{n - bad.size}/{n}")
+    for i in bad[:5]:
+        log(f"  MISMATCH lane {i}: device={dscore[i]} native={nscore[i]}")
+
+    # extz corner score vs a NumPy reference DP on small pairs
+    mism = 0
+    for i in range(min(n, 64)):
+        q = queries[i, :32].astype(np.int8)
+        t = targets[i, :48].astype(np.int8)
+        ez = ksw2.extz(q, t, flags=ksw2.SCORE_ONLY)
+        H = np.full(len(t) + 1, 0, np.int64)
+        for j in range(len(t)):
+            H[j + 1] = -(p.gapo + (j + 1) * p.gape)
+        E = np.full(len(t) + 1, -2**28, np.int64)
+        for a in range(len(q)):
+            Hd = -(p.gapo + a * p.gape) if a else 0
+            newH = np.empty_like(H)
+            newH[0] = -(p.gapo + (a + 1) * p.gape)
+            F = -2**28
+            for j in range(len(t)):
+                E[j + 1] = max(E[j + 1] - p.gape, H[j + 1] - p.gapo - p.gape)
+                F = max(F - p.gape, newH[j] - p.gapo - p.gape)
+                sc = 0 if (q[a] in (0, 5) or t[j] in (0, 5)) else (
+                    p.smatch if q[a] == t[j] else -p.smismatch)
+                newH[j + 1] = max(Hd + sc, E[j + 1], F)
+                Hd = H[j + 1]
+            H = newH
+        if ez["score"] != int(H[-1]):
+            mism += 1
+    log(f"extz corner score vs NumPy DP: "
+        f"{min(n, 64) - mism}/{min(n, 64)} agree")
+    if bad.size or mism:
+        raise SystemExit(1)
+    log("swcheck: OK")
+
+
 def cmd_visualize(args):
     from .index import MoniIndex
     from .utils.tools import visualize_sam
@@ -577,6 +652,15 @@ def main(argv=None):
     ra.add_argument("-i", "--index", required=True)
     ra.add_argument("positions", type=int, nargs="+")
     ra.set_defaults(fn=cmd_ra)
+
+    sw = sub.add_parser("swcheck", help="SW kernel cross-validation "
+                        "(device vs native vs NumPy; ksw_ksw2_global "
+                        "equivalent)")
+    sw.add_argument("-n", "--num", type=int, default=512)
+    sw.add_argument("--qlen", type=int, default=100)
+    sw.add_argument("--tlen", type=int, default=200)
+    sw.add_argument("--seed", type=int, default=1)
+    sw.set_defaults(fn=cmd_swcheck)
 
     vz = sub.add_parser("visualize", help="BLAST-like render of a SAM")
     vz.add_argument("-i", "--index", required=True)
