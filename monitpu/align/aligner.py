@@ -280,7 +280,7 @@ class Aligner:
             if self.mesh is not None:
                 with phase_timer("device dispatch (sharded)"):
                     seeds, packed, ctrs = self._seed_stage_sharded(
-                        fwd, rc, lens)
+                        [fwd, rc], [lens, lens])
                 return dict(reads=reads, seeds=seeds, packed=packed,
                             sharded=True, fwd=fwd, rc=rc, lens=lens,
                             fcodes=fcodes, rcodes=rcodes, ctrs=ctrs)
@@ -320,28 +320,31 @@ class Aligner:
         from .postseed import config_from_align
         return config_from_align(self.cfg)
 
-    def _seed_stage_sharded(self, fwd, rc, lens):
+    def _seed_stage_sharded(self, lane_arrays, lane_lens):
         """SPMD seed stage: find_mems + populate_seeds + pack under
         shard_map, so the worklist compactions (batch-global cumsums in
         ops/ms and ops/occs) stay PER-SHARD — no cross-shard resharding,
         no collectives; the TPU-native analog of the reference's
         independent alignment pthreads (align_reads_dispatcher.hpp:
-        118-198). Packed outputs come back shard-major and are remapped
-        to global rows host-side in _merge_sharded_pack."""
+        118-198). lane_arrays: n_lanes read-code arrays [B, M] (SE:
+        [fwd, rc]; PE: [m1F, m2RC, m2F, m1RC]); lane_lens: matching
+        [B] length arrays. Packed outputs come back shard-major and are
+        remapped to global rows host-side in _merge_sharded_pack."""
         from jax.sharding import PartitionSpec as P
         from ..parallel.mesh import READS_AXIS
         from ..ops.occs import pack_seeds
         shard_map = jax.shard_map
         cfg = self.cfg
+        n_lanes = len(lane_arrays)
         nsh = self.mesh.devices.size
-        B = fwd.shape[0]
+        B = lane_arrays[0].shape[0]
         lb = B // nsh
-        W = cfg.pack_seeds_per_read * lb
-        occ_cap = cfg.pack_occs_per_read * lb
+        W = (n_lanes // 2) * cfg.pack_seeds_per_read * lb
+        occ_cap = (n_lanes // 2) * cfg.pack_occs_per_read * lb
 
-        def stage(tables, fwd_l, rc_l, lens_l):
-            lanes = jnp.concatenate([fwd_l, rc_l], axis=0)
-            lens2 = jnp.concatenate([lens_l, lens_l], axis=0)
+        def stage(tables, *shards):
+            lanes = jnp.concatenate(shards[:n_lanes], axis=0)
+            lens2 = jnp.concatenate(shards[n_lanes:], axis=0)
             *mems, mctr = find_mems_batch(
                 tables, lanes, lens2, max_mems=cfg.max_mems,
                 min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
@@ -357,7 +360,7 @@ class Aligner:
         tspec = jax.tree_util.tree_map(lambda _: P(), self.tables)
         fn = shard_map(
             stage, mesh=self.mesh,
-            in_specs=(tspec, P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+            in_specs=(tspec,) + (P(READS_AXIS),) * (2 * n_lanes),
             out_specs=(jax.tree_util.tree_map(
                 lambda _: P(READS_AXIS),
                 {"occs": 0, "cnt": 0, "len": 0, "idx": 0, "valid": 0}),
@@ -371,18 +374,19 @@ class Aligner:
             # (e.g. pos0 from replicated table scalars) that become
             # varying through the body — semantically fine here
             check_vma=False)
-        return fn(self.tables, self.put_batch(fwd), self.put_batch(rc),
-                  self.put_batch(lens))
+        args = [self.put_batch(a) for a in lane_arrays] + \
+               [self.put_batch(l) for l in lane_lens]
+        return fn(self.tables, *args)
 
-    def _merge_sharded_pack(self, h):
+    def _merge_sharded_pack(self, h, n_lanes=2):
         """Pull the shard-major packed arrays and remap to global rows
-        (shard s local row r: r < lb -> s*lb + r, else B + s*lb + r-lb);
-        occurrence offsets shift by each shard's pool base. Falls back
-        to a host re-pack of the dense seeds on any shard overflow."""
+        (shard s, local row r: segment seg = r // lb lives at
+        seg*B + s*lb + r%lb); occurrence offsets shift by each shard's
+        pool base. Falls back to a host re-pack of the dense seeds on
+        any shard overflow."""
         from .postseed import pack_seeds_host
-        cfg = self.cfg
         nsh = self.mesh.devices.size
-        B = len(h["reads"])
+        B = len(h.get("reads", h.get("batch1", ())))
         lb = B // nsh
         with phase_timer("device wait"):
             packed = {k: np.asarray(v) for k, v in h["packed"].items()}
@@ -394,11 +398,11 @@ class Aligner:
             self.stats["seed_pack_overflow"] = (
                 self.stats.get("seed_pack_overflow", 0) + 1)
             dense = {k: np.asarray(v) for k, v in h["seeds"].items()}
-            # dense rows are shard-major [s0 fwd, s0 rc, s1 fwd, ...];
-            # reorder to the global [fwd B, rc B] convention
+            # dense rows are shard-major [s0 lane0, s0 lane1, ..., s1
+            # lane0, ...]; reorder to the global lane-block convention
             perm = np.concatenate(
-                [np.arange(lb) + s * 2 * lb for s in range(nsh)]
-                + [np.arange(lb) + s * 2 * lb + lb for s in range(nsh)])
+                [np.arange(lb) + s * n_lanes * lb + seg * lb
+                 for seg in range(n_lanes) for s in range(nsh)])
             dense = {k: v[perm] for k, v in dense.items()}
             return pack_seeds_host(dense)
         parts = {k: [] for k in ("row", "slot", "len", "idx", "cnt", "off")}
@@ -406,9 +410,9 @@ class Aligner:
             nv = int(n_valid[s])
             sl = slice(s * W, s * W + nv)
             row_l = packed["row"][sl]
-            parts["row"].append(np.where(
-                row_l < lb, s * lb + row_l,
-                B + s * lb + (row_l - lb)).astype(np.int32))
+            seg = row_l // lb
+            parts["row"].append(
+                (seg * B + s * lb + row_l % lb).astype(np.int32))
             parts["off"].append(packed["off"][sl] + s * occ_l)
             for k in ("slot", "len", "idx", "cnt"):
                 parts[k].append(packed[k][sl])

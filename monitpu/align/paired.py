@@ -253,6 +253,14 @@ class PairedAligner:
             return dict(batch1=batch1, batch2=batch2, packed_host=packed,
                         m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                         len1=len1, len2=len2)
+        if al.mesh is not None:
+            with phase_timer("pe device dispatch (sharded)"):
+                seeds, packed, ctrs = al._seed_stage_sharded(
+                    [m1f, m2r, m2f, m1r], [len1, len2, len2, len1])
+            return dict(batch1=batch1, batch2=batch2, seeds=seeds,
+                        packed=packed, sharded=True, ctrs=ctrs,
+                        m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
+                        len1=len1, len2=len2)
         with phase_timer("pe device dispatch"):
             lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
             lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
@@ -275,6 +283,8 @@ class PairedAligner:
         from ..align.postseed import pack_seeds_host
         if "packed_host" in h:
             return h["packed_host"]
+        if h.get("sharded"):
+            return self.al._merge_sharded_pack(h, n_lanes=4)
         with phase_timer("pe device wait"):
             packed = {k: np.asarray(v) for k, v in h["packed"].items()}
         if (int(packed["n_valid"]) > packed["row"].shape[0]

@@ -319,6 +319,14 @@ def cmd_ms(args):
         ln = ms_lengths_batch(tables, jnp.asarray(reads), jnp.asarray(lens),
                               ptr)
         ptr, ln = np.asarray(ptr), np.asarray(ln)
+        # LCE pool overflow makes lengths approximate (suffix-shift
+        # estimate); detect it exactly like find_mems_batch and warn
+        prev = np.pad(ptr, ((0, 0), (1, 0)), constant_values=-2)[:, :M]
+        valid = np.arange(M)[None, :] < lens[:, None]
+        needy = int((((ptr != prev + 1) & valid)).sum())
+        if needy > 96 * B:
+            log(f"WARNING: LCE pool overflow ({needy} jump positions > "
+                f"{96*B} lanes): some lengths are approximate")
         for b, (name, _, _) in enumerate(batch):
             fp.write(f">{name}\n" + " ".join(map(str, ptr[b, :lens[b]])) + "\n")
             fl.write(f">{name}\n" + " ".join(map(str, ln[b, :lens[b]])) + "\n")
@@ -415,6 +423,11 @@ def cmd_mems(args):
                                          max_mems=args.max_mems,
                                          min_len=args.min_len)
         mp, ml, mi, mc = map(np.asarray, (mp, ml, mi, mc))
+        dropped = int(np.asarray(mctr["lce_dropped"])) + \
+            int(np.asarray(mctr["mem_dropped"]))
+        if dropped:
+            log(f"WARNING: {dropped} truncations (LCE pool / max_mems) — "
+                f"output may under-report; raise --max-mems / lce_work")
         for b, (name, _, _) in enumerate(batch):
             pairs = " ".join(f"({mi[b,k]},{ml[b,k]})" for k in range(mc[b]))
             out.write(f">{name}\n{pairs}\n")

@@ -99,3 +99,42 @@ def test_overflow_counters_surface(setup):
     assert al.stats.get("lce_overflow", 0) > 0
     assert al.stats.get("mem_overflow", 0) > 0
     assert al.stats.get("occ_walk_capped", 0) > 0
+
+
+def test_sharded_pe_parity(setup):
+    """PE 4-lane sharded seed stage: 8-device mesh bit-parity with the
+    single-device run (records + insert model)."""
+    from monitpu.align.paired import PairedAligner
+    idx, _ = setup
+    rng = np.random.default_rng(53)
+    from monitpu.index import decode_seq as dec
+    text = np.asarray(idx.text)
+    starts = np.asarray(idx.seq_starts)
+    b1, b2 = [], []
+    L = 100
+    for i in range(32):
+        hap = int(rng.integers(0, len(starts) - 1))
+        ins = int(rng.integers(250, 330))
+        lo, hi = int(starts[hap]), int(starts[hap + 1]) - 1 - ins
+        s = int(rng.integers(lo, hi))
+        frag = text[s:s + ins]
+        m1 = frag[:L].copy()
+        m2 = revcomp_codes(frag[-L:].copy().astype(np.int8))
+        b1.append((f"p{i}/1", dec(m1.astype(np.int8)), "I" * L))
+        b2.append((f"p{i}/2", dec(m2), "I" * L))
+    cfg = AlignConfig(max_occs=64, postseed_threads=2)
+    single = PairedAligner(Aligner(idx, cfg))
+    single.learn_pair_batch(b1, b2)
+    srecs = single.align_pair_batch(b1, b2)
+
+    al = Aligner(idx, cfg)
+    al.enable_mesh(8)
+    sharded = PairedAligner(al)
+    sharded.learn_pair_batch(b1, b2)
+    assert sharded.ins.count == single.ins.count
+    assert sharded.ins.mean == single.ins.mean
+    mrecs = sharded.align_pair_batch(b1, b2)
+    diffs = [(s.qname, f) for s, m in zip(srecs, mrecs)
+             for f in FIELDS + ["pnext", "tlen"]
+             if getattr(s, f) != getattr(m, f)]
+    assert not diffs, diffs[:10]
