@@ -46,29 +46,26 @@ def _run_of_position(tables, pos):
 def ms_step(tables, pos, sample, c):
     """One backward step for a batch: returns (new_pos, new_sample).
 
-    Mirrors moni.hpp:579-621 case analysis, branchless. Table layout is
-    engineered for minimum HBM transactions per step: run start + head
-    ride one 8-byte row gather (``run2``), the four per-(run, char)
-    rank/threshold fields one 16-byte row gather (``rc4``)."""
+    Mirrors moni.hpp:579-621 case analysis, branchless, as TWO random
+    HBM gathers: the direct pos->run map and one fused 32-byte
+    per-(run, char) row (``lf8``: run start, head, char-count rank,
+    run rank, threshold count/position, and BOTH precomputed
+    threshold-jump SA samples)."""
     F = tables["F32"]            # int32[SIGMA+1]
     count_c = F[c + 1] - F[c]
-    j = _run_of_position(tables, pos)
-    run2 = tables["run2"][j]                 # [..., 2]: (run_start, head)
-    rs = run2[..., 0]
-    head = run2[..., 1]
-    rc4 = tables["rc4"][j * SIGMA + c]       # [..., 4]
-    clen = rc4[..., 0]
-    rank_runs = rc4[..., 1]
+    j = tables["run_idx"][pos]
+    row = tables["lf8"][j * SIGMA + c]       # [..., 8]
+    rs = row[..., 0]
+    head = row[..., 1]
+    clen = row[..., 2]
+    rank_runs = row[..., 3]
     match = head == c
     rank_c_pos = clen + jnp.where(match, pos - rs, 0)
 
     # jump path (BWT[pos] != c): threshold decides up vs down
-    thr_c = rc4[..., 2] + (rc4[..., 3] <= pos).astype(jnp.int32)
+    thr_c = row[..., 4] + (row[..., 5] <= pos).astype(jnp.int32)
     up = rank_runs > thr_c
-    k = rank_runs - up.astype(jnp.int32)
-    # csamples: [2, SIGMA, Rc_max] stacked (start, last); select via `up`
-    csam = tables["csamples"][
-        up.astype(jnp.int32), c, jnp.clip(k, 0, tables["csamples"].shape[2] - 1)]
+    csam = jnp.where(up, row[..., 6], row[..., 7])
 
     n = tables["n"]
     count0 = count_c == 0
@@ -382,5 +379,37 @@ def prepare_tables(index):
                          np.zeros(pad, np.uint8)])
     d["text"] = jnp.asarray(tp.view(np.int8))
     d["text_w32"] = jnp.asarray(tp.view("<u4"))   # 4 chars per word
-    d["csamples"] = jnp.stack([d.pop("csamples_start"), d.pop("csamples_last")])
+
+    # gather-minimal LF step: ONE fused 32-byte row per (run, char)
+    # carrying run start/head, rank/threshold fields AND both threshold-
+    # jump SA samples (precomputed per row), plus a direct pos->run
+    # int32 map — the whole moni.hpp:579-621 case analysis becomes TWO
+    # random HBM gathers per backward step (was five). Trades ~1.3x
+    # table bytes for the step-rate win; the aligner path drops the
+    # unfused tables (SPUMONI keeps lf_core_tables' run2/rc4 layout).
+    run_lens = np.diff(np.append(index.run_starts.astype(np.int64), n))
+    d["run_idx"] = jnp.asarray(
+        np.repeat(np.arange(r, dtype=np.int32), run_lens))
+    rr = index.run_crank.astype(np.int64)             # [r, SIGMA]
+    cs = np.asarray(index.csamples_start)
+    cl = np.asarray(index.csamples_last)
+    Rc = cs.shape[1]
+    chars = np.arange(SIGMA)[None, :]
+    sam_up = cl[chars, np.clip(rr - 1, 0, Rc - 1)]
+    sam_dn = cs[chars, np.clip(rr, 0, Rc - 1)]
+    bcast = lambda a: np.broadcast_to(a[:, None], (r, SIGMA))
+    lf8 = np.stack([
+        bcast(index.run_starts.astype(np.int32)),
+        bcast(index.run_heads.astype(np.int32)),
+        index.clen_at_run.astype(np.int32),
+        index.run_crank.astype(np.int32),
+        index.thr_cnt_run.astype(np.int32),
+        index.thr_pos_run.astype(np.int32),
+        sam_up.astype(np.int32),
+        sam_dn.astype(np.int32),
+    ], axis=2)
+    d["lf8"] = jnp.asarray(lf8.reshape(r * SIGMA, 8))
+    for k in ("run2", "rc4", "run_delta_u8", "block_run",
+              "csamples_start", "csamples_last"):
+        d.pop(k, None)
     return d
