@@ -1,17 +1,21 @@
 """Single-end aligner orchestration.
 
 TPU-native restructuring of the reference's per-read align loop
-(include/aligner/aligner_ksw2.hpp:328-521) into three phases per batch:
+(include/aligner/aligner_ksw2.hpp:328-521). Two post-seed paths:
 
-1. device pipeline (one jitted graph): MEM finding (fwd + rc lanes),
-   seed population, frequency filter, chaining, and fitting-alignment
-   scoring of the top chains — all batched;
-2. host selection: region dedup + best/second-best/AA bookkeeping
-   (mirrors get_best_scores / check_max_score, aligner_ksw2.hpp
-   :397-483) — tiny per-read work on scalar results;
-3. device finalize: traceback fitting alignment for the winning chain
-   only (the reference's score_only=false second fill_chain pass),
-   then host CIGAR walk, MD/NM and SAM assembly.
+* postseed="native" (DEFAULT): the TPU runs the index-bound batched
+  stages — MS backward search, MEM extraction, Phi-walk occurrence
+  enumeration (under shard_map when a mesh is enabled) — and hands a
+  compact packed seed format to the C++ runtime (native/runtime.cpp),
+  which reproduces the reference's chaining/selection/piecewise-
+  extension/SAM semantics exactly (tests/test_parity_oracle.py).
+* postseed="device": everything through scoring stays on the TPU
+  (chain DP + fitting-alignment kernels in ops/), with host selection
+  and a native fitting finalize — faster to compile, approximate
+  scores (see ops/sw.py).
+
+engine="cpu" swaps the TPU seed stage for the native CPU one
+(align/cpu.py) — the measured baseline and no-accelerator fallback.
 """
 
 from __future__ import annotations

@@ -6,21 +6,21 @@ Welford accumulators (:816-885), orphan recovery (:1536-1658).
 
 TPU-native layout: each pair contributes FOUR MEM query lanes
 (m1F, m2RC offset by |m1|, m2F, m1RC offset by |m2| — the reference's
-r_offset scheme, :1106-1109) merged into one anchor set per pair so a
-single chain DP finds paired chains (mate-compatibility mask
-(mate_i ^ mate_j) == 3). Each top chain is split into its mate parts
-and both parts are scored with fitting alignments in one batched SW
-call; the pair score adds the insert-size Gaussian term
-(.721 * ln(2*erfc(|ns|/sqrt(2))) * smatch, :2177). Insert-size stats are
-learned from the first batches with Welford merging (the reference's
-mutex merge becomes a host-side merge; under multi-host data
-parallelism it is a psum of (count, mean, M2) triples).
+r_offset scheme, :1106-1109). The DEFAULT path computes the 4-lane
+seeds on the TPU (sharded over a mesh when enabled) and finishes pairs
+in the native PE runtime (runtime.cpp monitpu_postseed_pe) with exact
+reference semantics — direction filter incl. its stats quirk, paired
+chaining, insert Gaussian, PE MAPQ with real second-best inputs,
+GATK unmapped-mate convention, orphan recovery
+(tests/test_parity_pe.py). Insert-size stats are learned from the
+first batches with Welford merging; under multi-host data parallelism
+the (count, mean, M2) triple is reduced across hosts
+(parallel/dist.allreduce_welford).
 
-Documented divergences (same spirit as the SE aligner):
-- direction-filter averages use the original MEMs only; the reference's
-  dir2 average accidentally includes the split half-seeds appended by
-  populate_seeds (:1049-1061 iterates past n_mems_dir1 after the mems
-  vector has grown).
+The legacy all-on-TPU path (postseed="device") remains below:
+paired chains scored with fitting alignments, documented divergences:
+- direction-filter averages use the original MEMs only (the reference
+  accidentally includes split half-seeds in the dir2 average);
 - chain parts are scored by fitting alignment over the part's window
   (dominates the reference's piecewise score, see ops/sw.py docstring).
 """

@@ -1,4 +1,6 @@
-"""Banded affine-gap Smith-Waterman on TPU: the ksw2 replacement.
+"""Banded affine-gap Smith-Waterman on TPU (the --extend-path device
+fitting kernel; the DEFAULT align path extends chains with the
+reference-exact piecewise extz engine in native/runtime.cpp instead).
 
 Reference usage (include/aligner/aligner_ksw2.hpp:2752-3196): chain
 scoring pieces together ksw_extz2_sse extension alignments of the left
