@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", 4.0))
 N_HAPS = int(os.environ.get("BENCH_HAPS", 4))
 N_READS = int(os.environ.get("BENCH_READS", 16384))
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 READ_LEN = 150
 
 

@@ -167,8 +167,6 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     onesW = jnp.ones((W1,), bool)
     occs_w, cnt_w, fup_w, fdn_w, cap_w = enumerate_occs(
         tables, ptr[src1], ptr[src1], mlen[src1], act1, onesW, max_occs)
-    occs = _scatter_rows(src1, act1, occs_w, L)
-    cnt = _scatter_rows(src1, act1, cnt_w, L)
     upper = _scatter_rows(src1, act1, fup_w, L)
     lower = _scatter_rows(src1, act1, fdn_w, L)
     valid = valid & _scatter_rows(src1, act1, act1, L)   # drop overflow
@@ -191,33 +189,41 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     h_len = jnp.where(is_left, ll[p], lr[p])
     hocc_w, hcnt_w, _, _, hcap_w = enumerate_occs(
         tables, h_up, h_dn, h_len, act2, jnp.ones((W2,), bool), max_occs)
-    # halves flat layout: [0, L) left-of-parent-l, [L, 2L) right-of-l
-    dest = jnp.where(act2, jnp.where(is_left, p, L + p), 2 * L)
-    zocc = jnp.zeros((2 * L + 1, max_occs), jnp.int32)
-    hocc = zocc.at[dest].set(hocc_w, mode="drop")[:2 * L]
-    hcnt = jnp.zeros((2 * L + 1,), jnp.int32).at[dest].set(
-        hcnt_w, mode="drop")[:2 * L]
-    hval = jnp.zeros((2 * L + 1,), bool).at[dest].set(
-        act2, mode="drop")[:2 * L]
 
-    def cat1(a, bc):
-        return jnp.concatenate([a.reshape(B, K),
-                                bc.reshape(2, B, K).transpose(1, 0, 2)
-                                .reshape(B, 2 * K)], axis=1)
+    # both worklists scatter STRAIGHT into the final [B, 3K] slot layout
+    # (parents [0,K), left halves [K,2K), right halves [2K,3K)) — no
+    # intermediate flat buffers, no reshape/transpose materializations
+    S = 3 * K
+    F = B * S           # flat output size; index F = trash slot
 
+    def dest_of(pp, off):
+        return (pp // K) * S + (pp % K) + off
+
+    dest1 = jnp.where(act1, dest_of(src1, 0), F)
+    dest2 = jnp.where(act2, dest_of(p, jnp.where(is_left, K, 2 * K)), F)
+
+    occs_o = (jnp.zeros((F + 1, max_occs), jnp.int32)
+              .at[dest1].set(occs_w, mode="drop")
+              .at[dest2].set(hocc_w, mode="drop"))[:F]
+
+    def scat(v1, v2, dtype=jnp.int32):
+        return (jnp.zeros((F + 1,), dtype)
+                .at[dest1].set(v1, mode="drop")
+                .at[dest2].set(v2, mode="drop"))[:F]
+
+    cnt_o = scat(cnt_w, hcnt_w)
     occ_capped = (jnp.sum(cap_w & act1) + jnp.sum(hcap_w & act2)).astype(
         jnp.int32)
-    seed_cnt = cat1(cnt, hcnt)
     return {
         "occ_capped": occ_capped,
-        "occs": jnp.concatenate(
-            [occs.reshape(B, K, max_occs),
-             hocc.reshape(2, B, K, max_occs).transpose(1, 0, 2, 3)
-             .reshape(B, 2 * K, max_occs)], axis=1),
-        "cnt": seed_cnt,
-        "len": cat1(mlen, jnp.concatenate([ll, lr])),
-        "idx": cat1(midx, jnp.concatenate([midx, midx + ll])),
-        "valid": cat1(valid, hval) & (seed_cnt > 0),
+        "occs": occs_o.reshape(B, S, max_occs),
+        "cnt": cnt_o.reshape(B, S),
+        "len": scat(mlen[src1], h_len).reshape(B, S),
+        "idx": scat(midx[src1],
+                    jnp.where(is_left, midx[p], midx[p] + ll[p])
+                    ).reshape(B, S),
+        "valid": (scat(act1, act2, bool).reshape(B, S)
+                  & (cnt_o.reshape(B, S) > 0)),
     }
 
 

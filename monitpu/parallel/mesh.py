@@ -11,9 +11,17 @@ in the reference. Insert-size learning (paired-end) is the one global
 reduction and uses a psum of Welford accumulators (mirrors the
 mutex-merged accumulators, aligner_ksw2.hpp:816-885).
 
-If the index outgrows HBM, the schema supports position-range sharding
-of the run tables with collective gathers; not enabled by default
-(SURVEY.md §2c, "index sharding" row).
+Index sharding for HBM overflow is deliberately NOT implemented: the
+schema's own n < 2^31 positions bound (int32 tables, index/build.py)
+binds BEFORE HBM does on a 16 GB v5e chip — position-indexed device
+arrays cost ~8 bytes/position (pos->run map, Phi anchor deltas, packed
+text), so the largest legal index (~2.1 G positions) tops out around
+the chip's HBM. Growing past that requires widening the schema to
+int64 first, at which point position-range sharding with routed
+gathers (all_gather queries / psum answers inside shard_map) is the
+plan of record. For very large n within the bound, the pos->run map
+can be swapped back to the 1.25 B/position block+delta layout that the
+SPUMONI path still uses (ops/ms.lf_core_tables).
 """
 
 from __future__ import annotations
