@@ -33,7 +33,7 @@ from ..index.schema import MoniIndex
 from ..ops.ms import extract_windows, find_mems_batch, prepare_tables
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import ChainConfig, find_chains_batch
-from ..ops.sw import SWParams, sw_fit, sw_fit_banded
+from ..ops.sw import SWParams, sw_fit_banded
 from .sam import (SamRecord, SAM_REVERSED, SAM_UNMAPPED, md_nm_from_ops,
                   cigar_ops_to_string, sam_header)
 from .mapq import compute_mapq_se_bwa
@@ -567,7 +567,6 @@ class Aligner:
             rec.asc = int(fscore[b])
             rec.zs = score2
             if reverse:
-                from ..index.alphabet import decode_seq
                 rec.seq = decode_seq(codes)
                 rec.qual = qual[::-1] if qual else "*"
             for h, p, sc in alt:

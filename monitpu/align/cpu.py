@@ -21,7 +21,7 @@ import numpy as np
 
 from ..native.sais import _load
 from ..index.alphabet import encode_seq, revcomp_codes
-from .postseed import postseed_se, postseed_pe
+from .postseed import postseed_se
 
 
 def _configure(lib):

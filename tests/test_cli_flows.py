@@ -1,0 +1,71 @@
+"""CLI surface flows: checkpoint/resume and the swcheck comparator."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    return env
+
+
+def _run(args, timeout=420):
+    p = subprocess.run([sys.executable, "-m", "monitpu.cli"] + args,
+                       env=_env(), cwd=REPO, capture_output=True,
+                       timeout=timeout)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    return p
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(5)
+    alph = "ACGT"
+    seq = "".join(alph[i] for i in rng.integers(0, 4, size=30000))
+    (tmp / "ref.fa").write_text(
+        ">chrA\n" + "\n".join(seq[i:i + 70]
+                              for i in range(0, len(seq), 70)) + "\n")
+    with open(tmp / "reads.fq", "w") as f:
+        for r in range(64):
+            s = int(rng.integers(0, len(seq) - 100))
+            f.write(f"@r{r}\n{seq[s:s + 100]}\n+\n{'I' * 100}\n")
+    _run(["build", "-r", str(tmp / "ref.fa"), "-o", str(tmp / "idx")])
+    return tmp
+
+
+def test_align_resume(data):
+    """Per-batch checkpoint/resume (SURVEY.md §5: goes beyond the
+    reference, which has no mid-run resume): a sidecar with
+    batches_done=k makes --resume skip the first k batches and append."""
+    full = data / "full.sam"
+    _run(["align", "-i", str(data / "idx"), "-p", str(data / "reads.fq"),
+          "-o", str(full), "-b", "16", "--engine", "cpu"])
+    lines = [l for l in full.read_text().splitlines()
+             if not l.startswith("@")]
+    assert len(lines) == 64
+
+    part = data / "part.sam"
+    # simulate a crash after 2 of 4 batches: the partial SAM holds the
+    # header + first 32 records, the sidecar records batches_done=2
+    hdr = [l for l in full.read_text().splitlines() if l.startswith("@")]
+    part.write_text("\n".join(hdr + lines[:32]) + "\n")
+    (data / "part.sam.ckpt.json").write_text('{"batches_done": 2}')
+    _run(["align", "-i", str(data / "idx"), "-p", str(data / "reads.fq"),
+          "-o", str(part), "-b", "16", "--engine", "cpu", "--resume"])
+    assert part.read_text() == full.read_text()
+    assert not (data / "part.sam.ckpt.json").exists()  # removed on success
+
+
+def test_swcheck(data):
+    p = _run(["swcheck", "-n", "64", "--qlen", "60", "--tlen", "120"])
+    assert b"swcheck: OK" in p.stderr
