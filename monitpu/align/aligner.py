@@ -431,20 +431,81 @@ class Aligner:
     def _accumulate_ctrs(self, h):
         """Truncation counters (LCE pool, MEM cap, occ-walk cap) into
         stats — non-zero means pools should be resized (-> AlignConfig
-        max_mems / max_occs / lce_work)."""
+        max_mems / max_occs / lce_work). Returns the summed triple."""
         if "ctrs" not in h:
-            return
+            return np.zeros(3, np.int64)
         c = np.asarray(h["ctrs"]).reshape(-1, 3).sum(axis=0)
         for i, k in enumerate(("lce_overflow", "mem_overflow",
                                "occ_walk_capped")):
             if c[i]:
                 self.stats[k] = self.stats.get(k, 0) + int(c[i])
+        return c
+
+    def _seeds_exact_retry(self, h, n_lanes=2):
+        """LCE-pool / MEM-cap truncation is recoverable: the batch is
+        re-dispatched with doubled pools until the counters stop firing
+        (<= 2 doublings), so native-path results stay EXACT on
+        pathological batches instead of silently approximate — the CPU
+        engine and the oracle have no such pools, so this is what keeps
+        engine parity unconditional. The occurrence-walk cap (max_occs)
+        is intentionally NOT retried: both engines share that knob.
+        Returns an updated handle (possibly h itself)."""
+        c = self._accumulate_ctrs(h)
+        if c[0] == 0 and c[1] == 0:
+            return h
+        cfg = self.cfg
+        from ..ops.occs import pack_seeds
+        if n_lanes == 2:
+            arrays = [h["fwd"], h["rc"]]
+            lens = [h["lens"], h["lens"]]
+        else:
+            arrays = [h["m1f"], h["m2r"], h["m2f"], h["m1r"]]
+            lens = [h["len1"], h["len2"], h["len2"], h["len1"]]
+        B = arrays[0].shape[0]
+        n_rows = n_lanes * B
+        M = arrays[0].shape[1]
+        max_mems, work = cfg.max_mems, cfg.lce_work or 96
+        for attempt in range(3):
+            # counter-informed resize: the dropped counts bound how much
+            # bigger the pools must be to cover this batch exactly
+            if c[0]:
+                work = max(work * 2, work + int(-(-int(c[0]) // n_rows)) + 8)
+            if c[1]:
+                max_mems = min(M, max(max_mems * 2,
+                                      max_mems + int(c[1])))
+            self.stats["seed_pool_retries"] = (
+                self.stats.get("seed_pool_retries", 0) + 1)
+            with phase_timer("device dispatch (pool retry)"):
+                lanes = jnp.concatenate([self.put_batch(a)
+                                         for a in arrays], axis=0)
+                lens2 = jnp.concatenate([self.put_batch(l)
+                                         for l in lens], axis=0)
+                *mems, mctr = find_mems_batch(
+                    self.tables, lanes, lens2, max_mems=max_mems,
+                    min_len=cfg.min_len, work_per_read=work)
+                seeds = populate_seeds_batch(
+                    self.tables, *mems, max_occs=cfg.max_occs,
+                    min_len=cfg.min_len)
+                occ_capped = seeds.pop("occ_capped")
+                ctrs = jnp.stack([mctr["lce_dropped"],
+                                  mctr["mem_dropped"], occ_capped])
+                packed = pack_seeds(
+                    seeds,
+                    W=(n_lanes // 2) * cfg.pack_seeds_per_read * B,
+                    occ_cap=(n_lanes // 2) * cfg.pack_occs_per_read * B)
+            h = dict(h)
+            h.pop("sharded", None)   # retry runs unsharded; merge skips
+            h["seeds"], h["packed"] = seeds, packed
+            c = np.asarray(ctrs).reshape(-1, 3).sum(axis=0)
+            if c[0] == 0 and c[1] == 0:
+                break
+        return h
 
     def _complete_native(self, h):
         """Native post-seed completion: pull the packed seeds (dense
         fallback when the pack budget overflowed), run the C++ runtime."""
         from .postseed import postseed_se, pack_seeds_host
-        self._accumulate_ctrs(h)
+        h = self._seeds_exact_retry(h)
         if "packed_host" in h:   # cpu engine: already host-side
             packed = h["packed_host"]
             with phase_timer("native postseed"):

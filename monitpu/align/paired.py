@@ -309,6 +309,7 @@ class PairedAligner:
         Welford accumulator. Returns True when the model is complete."""
         from ..align.postseed import postseed_pe
         h = handle or self.submit_pair_batch(batch1, batch2)
+        h = self.al._seeds_exact_retry(h, n_lanes=4)
         packed = self._pull_packed(h)
         _, _, info = postseed_pe(
             self.al.index, packed, h["m1f"], h["m1r"], h["m2f"], h["m2r"],
@@ -321,8 +322,7 @@ class PairedAligner:
 
     def complete_pair_batch(self, h):
         from ..align.postseed import postseed_pe
-        if "ctrs" in h:
-            self.al._accumulate_ctrs(h)
+        h = self.al._seeds_exact_retry(h, n_lanes=4)
         batch1, batch2 = h["batch1"], h["batch2"]
         packed = self._pull_packed(h)
         with phase_timer("pe native postseed"):
