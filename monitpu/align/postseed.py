@@ -211,7 +211,12 @@ def config_from_align(cfg) -> "PostseedConfig":
         smatch=cfg.sw.smatch, smismatch=cfg.sw.smismatch,
         gapo=cfg.sw.gapo, gape=cfg.sw.gape,
         gapo2=cfg.sw.gapo2, gape2=cfg.sw.gape2,
-        ext_len=cfg.ext_len, n_threads=cfg.postseed_threads)
+        ext_len=cfg.ext_len, n_threads=cfg.postseed_threads,
+        # output caps sized so truncation is impossible: an alignment
+        # has <= 2*qlen+1 CIGAR runs, and MD spends <= 4 chars per
+        # consumed reference base (rlen <= qlen + 2*ext_len + indels)
+        cigar_cap=2 * cfg.read_pad + 80,
+        md_cap=4 * (cfg.read_pad + 2 * cfg.ext_len) + 256)
 
 
 class PeParams(ctypes.Structure):

@@ -468,12 +468,17 @@ struct Scratch {
   DpState dp;
   std::vector<Anchor> anchors;
   std::vector<Chain> chains;
-  std::vector<int32_t> genome_cnt, slotmap;
+  // per-genome occurrence counter with epoch stamps: cleared in O(1)
+  // per seed instead of O(nseq) (matters on many-haplotype pangenomes)
+  std::vector<int32_t> genome_cnt, genome_epoch, slotmap;
+  int32_t epoch = 0;
 };
+
 
 struct FillOut {
   int64_t score = 0;
   int64_t pos = 0;  // haplotype-coordinate start (0-based, global)
+  int64_t asc = 0;  // SAM AS value (finalize-pass total / orphan extz)
   bool unmapped_lft = false;
   bool finalized = false;
   Cigar lift_cig;  // haplotype-coordinate CIGAR (OA)
@@ -489,13 +494,14 @@ struct FillOut {
 };
 
 thread_local int64_t g_extz_calls = 0, g_extz_cells = 0;
+const bool g_rt_debug = getenv("MONITPU_RT_DEBUG") != nullptr;
 
 // One extz call with scratch reuse; returns ops decoded when traceback.
 ExtzOut run_extz(const Ctx& c, Scratch& s, const int8_t* q, int32_t qlen,
                  const int8_t* t, int32_t tlen, int32_t flags, Cigar* ops) {
   ++g_extz_calls;
   g_extz_cells += int64_t(qlen) * tlen;
-  if (getenv("MONITPU_RT_DEBUG") && int64_t(qlen) * tlen > 1000000)
+  if (g_rt_debug && int64_t(qlen) * tlen > 1000000)
     fprintf(stderr,
             "[rt] big extz: qlen=%d tlen=%d flags=%d ext_len=%d n=%lld\n",
             qlen, tlen, flags, c.p->ext_len, (long long)c.n);
@@ -689,6 +695,7 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
   }
 
   out->finalized = true;
+  out->asc = out->score;  // AS = recomputed finalize total (fill.py 'as')
   out->lift_cig = cigar;
   write_md_core(ref, seq, cigar, out->lift_md, &out->lift_nm);
   out->lift_pos = ref_pos;
@@ -723,10 +730,12 @@ void chain_score(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
     FillOut fin;
     fill_chain(c, s, mems, ca, seq, slen, false, &fin);
     int64_t sc = out->score;
-    int64_t pos0 = out->pos;
     *out = std::move(fin);
     out->score = sc;  // callers use the score-only pass's score (:3161)
-    out->pos = pos0;
+    // the finalize dict's 'pos' is the LIFTED position, or 0 when the
+    // alignment lifts entirely into an insertion (fill.py:277/284) —
+    // PE dist/tot and the lft dedup keys are computed from it
+    out->pos = out->unmapped_lft ? 0 : out->out_pos;
   }
 }
 
@@ -766,23 +775,60 @@ void bucket_rows(SeedArrays& sd, int64_t n_rows) {
     if (r >= 0 && r < n_rows) sd.order[cur[r]++] = int32_t(k);
   }
 }
+// shared seed-record extraction + per-genome n_seeds_thr filter
+// (seed_finder.hpp:187-193; occ[0] = walk start, never filtered) used
+// by both the SE and PE mem builders
+bool extract_seed(const Ctx& c, const SeedArrays& sd, Scratch& s,
+                  int32_t k, int32_t mate, int64_t rpos_off, Mem* m) {
+  const SeParams& p = *c.p;
+  m->len = sd.len[k];
+  m->idx = sd.idx[k];
+  m->mate = mate;
+  m->rpos = rpos_off + m->idx + m->len - 1;
+  m->occs.clear();
+  int32_t cnt = sd.cnt[k];
+  const int32_t* o = sd.occ + sd.off[k];
+  if (cnt <= 0) return false;
+  m->pos = o[0];
+  if (p.filter_seeds) {
+    if ((size_t)c.nseq > s.genome_cnt.size()) {
+      s.genome_cnt.assign(c.nseq, 0);
+      s.genome_epoch.assign(c.nseq, -1);
+    }
+    int32_t e = s.epoch++;
+    auto bump = [&](int32_t g) {
+      if (s.genome_epoch[g] != e) {
+        s.genome_epoch[g] = e;
+        s.genome_cnt[g] = 0;
+      }
+      return ++s.genome_cnt[g];
+    };
+    for (int32_t j = 0; j < cnt; ++j) {
+      int32_t g = seq_of(c, o[j]);
+      if (j > 0 && bump(g) > p.n_seeds_thr) continue;
+      if (j == 0) bump(g);
+      m->occs.push_back(o[j]);
+    }
+  } else {
+    m->occs.assign(o, o + cnt);
+  }
+  return !m->occs.empty();
+}
 
 // Build the oracle-ordered mem list for read b: fwd parents, rc
 // parents, then (left, right) halves per parent in that order. Applies
 // the per-genome n_seeds_thr occurrence filter (seed_finder.hpp:187-193)
 // over each seed's occ stream (occ[0] = walk start, never filtered).
-void build_mems(const Ctx& c, const SeedArrays& sd, int64_t B, int64_t b,
-                std::vector<Mem>& mems, std::vector<int32_t>& genome_cnt,
-                std::vector<int32_t>& slotmap) {
+void build_mems(const Ctx& c, const SeedArrays& sd, Scratch& s,
+                int64_t B, int64_t b, std::vector<Mem>& mems) {
   mems.clear();
-  const SeParams& p = *c.p;
   // lane-local slot -> packed record index (-1 = absent)
-  slotmap.assign(2 * sd.S, -1);
+  s.slotmap.assign(2 * sd.S, -1);
   for (int lane = 0; lane < 2; ++lane) {
     int64_t r = lane == 0 ? b : B + b;
     for (int64_t q = sd.rowstart[r]; q < sd.rowstart[r + 1]; ++q) {
       int32_t k = sd.order[q];
-      slotmap[lane * sd.S + sd.slot[k]] = k;
+      s.slotmap[lane * sd.S + sd.slot[k]] = k;
     }
   }
   struct Parent {
@@ -790,30 +836,10 @@ void build_mems(const Ctx& c, const SeedArrays& sd, int64_t B, int64_t b,
     int32_t slot;
   };
   std::vector<Parent> parents;
+  Mem m;
   auto add_seed = [&](int lane, int64_t slot, int32_t mate) {
-    int32_t k = slotmap[lane * sd.S + slot];
-    if (k < 0) return false;
-    Mem m;
-    m.len = sd.len[k];
-    m.idx = sd.idx[k];
-    m.mate = mate;
-    m.rpos = int64_t(m.idx) + m.len - 1;
-    int32_t cnt = sd.cnt[k];
-    const int32_t* o = sd.occ + sd.off[k];
-    if (cnt <= 0) return false;
-    m.pos = o[0];
-    if (p.filter_seeds) {
-      genome_cnt.assign(c.nseq, 0);
-      for (int32_t j = 0; j < cnt; ++j) {
-        int32_t g = seq_of(c, o[j]);
-        if (j > 0 && ++genome_cnt[g] > p.n_seeds_thr) continue;
-        if (j == 0) ++genome_cnt[g];
-        m.occs.push_back(o[j]);
-      }
-    } else {
-      m.occs.assign(o, o + cnt);
-    }
-    if (m.occs.empty()) return false;
+    int32_t k = s.slotmap[lane * sd.S + slot];
+    if (k < 0 || !extract_seed(c, sd, s, k, mate, 0, &m)) return false;
     mems.push_back(std::move(m));
     return true;
   };
@@ -902,7 +928,7 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
   o.unmapped_lft[b] = 0;
 
   std::vector<Mem> mems;
-  build_mems(c, sd, B, b, mems, s.genome_cnt, s.slotmap);
+  build_mems(c, sd, s, B, b, mems);
   if (p.filter_freq) seed_freq_filter(mems, p.freq_thr);
 
   find_chains(mems, p, p.secondary != 0, s.anchors, s.chains, s.dp);
@@ -1047,7 +1073,7 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
 
   o.flag[b] = strand ? 16 : 0;
   o.zs[b] = int32_t(score2);
-  o.asc[b] = int32_t(fin.score);
+  o.asc[b] = int32_t(fin.asc);
   // OA (haplotype-coordinate) fields (:3125-3131)
   int32_t lsq = seq_of(c, fin.lift_pos);
   o.lift_rname[b] = lsq;
@@ -1203,30 +1229,12 @@ void build_mems_pe(const Ctx& c, const PeParams& pp, const SeedArrays& sd,
       s.slotmap[l * sd.S + sd.slot[k]] = k;
     }
   }
+  Mem m;
   auto add_seed = [&](int lane, int64_t slot) {
     int32_t k = s.slotmap[lane * sd.S + slot];
-    if (k < 0) return false;
-    Mem m;
-    m.len = sd.len[k];
-    m.idx = sd.idx[k];
-    m.mate = lanes[lane].mate;
-    m.rpos = int64_t(lanes[lane].off) + m.idx + m.len - 1;
-    int32_t cnt = sd.cnt[k];
-    const int32_t* o = sd.occ + sd.off[k];
-    if (cnt <= 0) return false;
-    m.pos = o[0];
-    if (p.filter_seeds) {
-      s.genome_cnt.assign(c.nseq, 0);
-      for (int32_t j = 0; j < cnt; ++j) {
-        int32_t g = seq_of(c, o[j]);
-        if (j > 0 && ++s.genome_cnt[g] > p.n_seeds_thr) continue;
-        if (j == 0) ++s.genome_cnt[g];
-        m.occs.push_back(o[j]);
-      }
-    } else {
-      m.occs.assign(o, o + cnt);
-    }
-    if (m.occs.empty()) return false;
+    if (k < 0 || !extract_seed(c, sd, s, k, lanes[lane].mate,
+                               lanes[lane].off, &m))
+      return false;
     mems.push_back(std::move(m));
     return true;
   };
@@ -1371,8 +1379,7 @@ void fill_orphan(const Ctx& c, Scratch& s, int64_t* start, int64_t* end,
   ExtzOut ez = run_extz(c, s, read, rlen, text + ref_occ,
                         int32_t(ref_len), 0, &cig);
   out->finalized = true;
-  out->score = ez.score;
-  out->pos = *start;
+  out->asc = ez.score;  // SAM AS (oracle: sam.asc = ez score, :2656)
   out->lift_cig = cig;
   write_md_core(text + ref_occ, read, cig, out->lift_md, &out->lift_nm);
   out->lift_pos = ref_occ;
@@ -1386,11 +1393,15 @@ void fill_orphan(const Ctx& c, Scratch& s, int64_t* start, int64_t* end,
     out->out_pos = lpos;
     out->cig = std::move(lops);
     out->rlen = int32_t(lrlen);
+    out->score = ez.score;  // oracle: set only in the lifted branch
+    out->pos = *start;
   } else {
     out->unmapped_lft = true;
     out->out_pos = 0;
     out->cig.clear();
     out->rlen = 0;
+    // score/pos stay 0 (oracle _zero_score defaults): the pair total
+    // must not credit an alignment that lifted into an insertion
   }
 }
 
@@ -1643,7 +1654,7 @@ void emit_mate_sam(const Ctx& c, const FillOut& fin,
   sam.lift_md = fin.lift_md;
   sam.lift_nm = fin.lift_nm;
   sam.lift_rlen = fin.lift_rlen;
-  sam.asc = fin.score;
+  sam.asc = fin.asc;
   if (fin.unmapped_lft) {
     sam.rname = -1;
     sam.pos = 0;
@@ -2005,7 +2016,7 @@ int monitpu_postseed_se(
             o_lift_rlen,  o_unmapped_lft, o_alt_rname, o_alt_pos,
             o_alt_score,  o_nalt,        o_chains_skipped};
   int32_t n_threads = std::max(1, prm->n_threads);
-  const bool dbg = getenv("MONITPU_RT_DEBUG") != nullptr;
+  const bool dbg = g_rt_debug;
   auto work = [&](int64_t lo, int64_t hi) {
     Scratch s;
     for (int64_t b = lo; b < hi; ++b) {

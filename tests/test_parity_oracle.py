@@ -146,6 +146,7 @@ def pangenome(tmp_path_factory):
         else:              # deletion of 3bp
             dl = ref[p - 1:p + 3]
             lines.append(f"chrT\t{p}\t.\t{dl}\t{r}\t.\tPASS\t.\tGT\t{gt1}\t{gt2}")
+    lines[2:] = sorted(lines[2:], key=lambda l: int(l.split("\t")[1]))
     with gzip.open(tmp / "v.vcf.gz", "wt") as f:
         f.write("\n".join(lines) + "\n")
     index, liftidx = build_pangenome_index(str(tmp / "ref.fa"),

@@ -121,3 +121,77 @@ def test_pe_orphan_recovery_parity(pe_setup):
     assert not diffs, f"{len(diffs)} diffs, first 10: {diffs[:10]}"
     assert pal.stats["orphan_recovered"] > 0
     assert pal.stats["orphan_recovered"] == ora.stats["orphan_recovered"]
+
+
+def test_pe_liftover_parity(tmp_path):
+    """PE over a real (non-identity) liftover pangenome: the pair
+    distance/AS/MAPQ must be computed from LIFTED mate positions
+    (aligner_ksw2.hpp:2174-2182 computes dist after fill_chain rewrote
+    score.pos to reference coordinates), and orphan mates lifting into
+    insertions must not credit the pair total."""
+    import gzip
+    from monitpu.index.pangenome import build_pangenome_index
+    rng = np.random.default_rng(99)
+    ref = "".join("ACGT"[c] for c in rng.integers(0, 4, size=12000))
+    (tmp_path / "ref.fa").write_text(
+        ">chrP\n" + "\n".join(ref[i:i + 70]
+                              for i in range(0, len(ref), 70)) + "\n")
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"]
+    taken = set()
+    for _ in range(80):
+        p = int(rng.integers(100, len(ref) - 100))
+        if any(abs(p - q) < 15 for q in taken):
+            continue
+        taken.add(p)
+        kind = int(rng.integers(0, 3))
+        r = ref[p - 1]
+        if kind == 0:
+            alt = "ACGT"[("ACGT".index(r) + 1) % 4]
+            lines.append(f"chrP\t{p}\t.\t{r}\t{alt}\t.\tPASS\t.\tGT\t1|1")
+        elif kind == 1:
+            ins = "".join("ACGT"[c] for c in rng.integers(0, 4, 4))
+            lines.append(f"chrP\t{p}\t.\t{r}\t{r}{ins}\t.\tPASS\t.\tGT\t1|1")
+        else:
+            dl = ref[p - 1:p + 4]
+            lines.append(f"chrP\t{p}\t.\t{dl}\t{r}\t.\tPASS\t.\tGT\t1|1")
+    # VCFs are position-sorted by spec; the splicer's overlap rule
+    # treats out-of-order records as overlaps
+    lines[2:] = sorted(lines[2:], key=lambda l: int(l.split("\t")[1]))
+    with gzip.open(tmp_path / "v.vcf.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    index, liftidx = build_pangenome_index(str(tmp_path / "ref.fa"),
+                                           str(tmp_path / "v.vcf.gz"))
+    text = np.asarray(index.text)
+    starts = np.asarray(index.seq_starts)
+    # sample pairs from the haplotypes (indexes 1..2: S1_H1/H2)
+    b1, b2 = [], []
+    L = 90
+    for i in range(24):
+        s_idx = int(rng.integers(1, len(index.seq_names)))
+        lo, hi = int(starts[s_idx]), int(starts[s_idx + 1]) - 1
+        ins = int(rng.integers(220, 300))
+        s = int(rng.integers(lo, hi - ins - 10))
+        frag = text[s:s + ins]
+        m1 = frag[:L].copy()
+        m2 = revcomp_codes(frag[-L:].copy().astype(np.int8))
+        b1.append((f"q{i}/1", decode_seq(m1.astype(np.int8)), "I" * L))
+        b2.append((f"q{i}/2", decode_seq(m2), "I" * L))
+    ora = OraclePairedAligner(index, OracleParams(), liftidx=liftidx)
+    pal = PairedAligner(Aligner(index, AlignConfig(max_occs=64,
+                                                   postseed_threads=2),
+                                liftidx=liftidx))
+    pal.learn_pair_batch(b1, b2)
+    ora.learn_batch(list(zip(b1, b2)))
+    recs = pal.align_pair_batch(b1, b2)
+    diffs = []
+    for k in range(len(b1)):
+        o1, o2 = ora.align_pair(b1[k], b2[k])
+        for tag, d, o in (("m1", recs[2 * k], o1),
+                          ("m2", recs[2 * k + 1], o2)):
+            for f in FIELDS:
+                if getattr(d, f) != getattr(o, f):
+                    diffs.append((k, tag, f, getattr(d, f), getattr(o, f)))
+    assert not diffs, f"{len(diffs)} diffs: {diffs[:10]}"
+    # the batch must exercise real CIGAR rewrites under lift
+    assert any(r.cigar != r.lift_cigar for r in recs if not (r.flag & 4))
