@@ -176,7 +176,12 @@ int32_t lane_seeds(const CpuIndex& ix, const int8_t* pat, int32_t m,
     out.push_back(std::move(r));
   }
   // halves (populate_seed split, seed_finder.hpp:279-318): left walks
-  // from the parent's far endpoints, right re-walks from pos + ll
+  // from the parent's far endpoints, right re-walks from pos + ll.
+  // Documented divergence (shared with the TPU kernel): the endpoints
+  // are the raw walk positions; the reference uses occs.back() AFTER
+  // the per-genome n_seeds_thr filter popped entries, which differs
+  // only when a seed exceeds n_seeds_thr (=1000) occurrences in one
+  // genome or the max_occs cap fired (both counted upstream)
   for (int32_t p = 0; p < K; ++p) {
     const Par& pa = parents[p];
     if (pa.len < 2 * min_len) continue;

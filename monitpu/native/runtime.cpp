@@ -1968,6 +1968,8 @@ void align_one_pe(const Ctx& c, const PeParams& pp, Scratch& s,
   // outputs
   pe_write_mate(c, st.sam1, b, po.se, po);
   pe_write_mate(c, st.sam2, B + b, po.se, po);
+  // AA entries beyond alt_cap are dropped (the reference's vector is
+  // unbounded; equal-top-score chains rarely exceed a handful)
   auto dump_alt = [&](const std::vector<std::pair<int32_t, int64_t>>& ap,
                       const std::vector<int64_t>& as_, int64_t row) {
     int32_t n = std::min<int32_t>((int32_t)ap.size(), p.alt_cap);
