@@ -235,7 +235,7 @@ class PairedAligner:
     def submit_pair_batch(self, batch1, batch2):
         """Encode + dispatch the 4-lane seed stage (async on device;
         synchronous on the cpu engine)."""
-        from ..ops.occs import pack_seeds
+        from ..ops.occs import pack_seeds_wire
         cfg = self.cfg
         al = self.al
         B, M = len(batch1), cfg.read_pad
@@ -255,10 +255,10 @@ class PairedAligner:
                         len1=len1, len2=len2)
         if al.mesh is not None:
             with phase_timer("pe device dispatch (sharded)"):
-                seeds, packed, ctrs = al._seed_stage_sharded(
+                seeds, wire, ctrs = al._seed_stage_sharded(
                     [m1f, m2r, m2f, m1r], [len1, len2, len2, len1])
             return dict(batch1=batch1, batch2=batch2, seeds=seeds,
-                        packed=packed, sharded=True, ctrs=ctrs,
+                        wire=wire, sharded=True, ctrs=ctrs,
                         m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                         len1=len1, len2=len2)
         with phase_timer("pe device dispatch"):
@@ -273,29 +273,20 @@ class PairedAligner:
                                          min_len=cfg.min_len)
             ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
                               seeds.pop("occ_capped")])
-            packed = pack_seeds(seeds, W=2 * cfg.pack_seeds_per_read * B,
-                                occ_cap=2 * cfg.pack_occs_per_read * B)
+            W, OC = 2 * cfg.pack_seeds_per_read * B, \
+                2 * cfg.pack_occs_per_read * B
+            wire = pack_seeds_wire(seeds, W=W, occ_cap=OC)
         return dict(batch1=batch1, batch2=batch2, seeds=seeds,
-                    packed=packed, m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
+                    wire=wire, W=W, occ_cap=OC,
+                    m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                     len1=len1, len2=len2, ctrs=ctrs)
 
     def _pull_packed(self, h):
-        from ..align.postseed import pack_seeds_host
         if "packed_host" in h:
             return h["packed_host"]
         if h.get("sharded"):
             return self.al._merge_sharded_pack(h, n_lanes=4)
-        with phase_timer("pe device wait"):
-            packed = {k: np.asarray(v) for k, v in h["packed"].items()}
-        if (int(packed["n_valid"]) > packed["row"].shape[0]
-                or int(packed["n_occ"]) > packed["occ"].shape[0]):
-            self.stats["seed_pack_overflow"] = (
-                self.stats.get("seed_pack_overflow", 0) + 1)
-            packed = pack_seeds_host(
-                {k: np.asarray(v) for k, v in h["seeds"].items()})
-        else:
-            packed["S"] = int(h["seeds"]["len"].shape[1])
-        return packed
+        return self.al._pull_wire(h, timer="pe device wait")
 
     def _pe_kwargs(self):
         cfg = self.cfg

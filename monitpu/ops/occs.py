@@ -267,3 +267,48 @@ def pack_seeds(seeds, W, occ_cap):
         "n_valid": jnp.sum(v.astype(jnp.int32)),
         "n_occ": jnp.sum(jnp.where(v, cflat, 0)),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("W", "occ_cap"))
+def pack_seeds_wire(seeds, W, occ_cap):
+    """pack_seeds flattened into ONE int32 wire vector for a single
+    device->host pull: the tunnel charges ~25 ms latency PER transfer
+    (measured), so 9 per-key pulls cost more than the payload. Layout:
+    [n_valid, n_occ, row*S+slot (W), len<<16|idx (W), cnt (W),
+    occ (occ_cap)]. 'off' is recomputable host-side (cumsum of cnt —
+    identical when no occ clipping happened; clipping implies n_occ >
+    occ_cap which forces the dense fallback anyway)."""
+    p = pack_seeds(seeds, W=W, occ_cap=occ_cap)
+    S = seeds["len"].shape[1]
+    return jnp.concatenate([
+        p["n_valid"].reshape(1), p["n_occ"].reshape(1),
+        p["row"] * S + p["slot"],
+        (p["len"] << 16) | p["idx"],
+        p["cnt"],
+        p["occ"],
+    ])
+
+
+def unpack_seeds_wire(buf, W, occ_cap, S):
+    """numpy inverse of pack_seeds_wire -> pack_seeds-style dict.
+    Returns None when the wire reports overflow (caller falls back to
+    the dense arrays)."""
+    import numpy as np
+    n_valid, n_occ = int(buf[0]), int(buf[1])
+    if n_valid > W or n_occ > occ_cap:
+        return None
+    o = 2
+    a = buf[o:o + n_valid]
+    b = buf[o + W:o + W + n_valid]
+    cnt = np.ascontiguousarray(buf[o + 2 * W:o + 2 * W + n_valid])
+    occ = np.ascontiguousarray(buf[o + 3 * W:o + 3 * W + n_occ])
+    off = np.zeros(n_valid, np.int32)
+    if n_valid:
+        off[1:] = np.cumsum(cnt[:-1])
+    return {
+        "row": np.ascontiguousarray(a // S), "slot": np.ascontiguousarray(a % S),
+        "len": np.ascontiguousarray(b >> 16),
+        "idx": np.ascontiguousarray(b & 0xFFFF),
+        "cnt": cnt, "off": off, "occ": occ,
+        "n_valid": np.int32(n_valid), "n_occ": np.int32(n_occ), "S": S,
+    }
