@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", 4.0))
 N_HAPS = int(os.environ.get("BENCH_HAPS", 4))
 N_READS = int(os.environ.get("BENCH_READS", 16384))
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", 8192))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", 16384))
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 READ_LEN = 150
 ACC_TOL = 20          # |reported pos - truth pos| tolerance (bp)
@@ -219,7 +219,7 @@ def bench_pe(idx, lift, rng, n_pairs, batch, tables_cache=None):
         h = pal.submit_pair_batch(c1, c2)
         if pending is not None:
             account(pal.complete_pair_batch(pending[0]), pending[1])
-        pending = (h, off - batch)
+        pending = (h, off)
     if pending is not None:
         account(pal.complete_pair_batch(pending[0]), pending[1])
     dt = time.time() - t0

@@ -1,0 +1,160 @@
+"""Device-exact extz-semantics Smith-Waterman score pass.
+
+The reference's dominant compute phase is `ksw_extz2_sse` (banded affine
+SW; called from fill_chain at /root/reference/include/aligner/
+aligner_ksw2.hpp:2812, 2844, 2965, 2988, 3015). The native runtime's
+host scalar lane (native/extz_core.h) pins its output contract: corner
+score H[qlen-1][tlen-1], mqe = max of the last query row, mqe_t = FIRST
+argmax target index, N/SEP score 0, affine gap -(go + l*ge).
+
+This module computes that contract EXACTLY on the TPU for a batch of
+jobs so every score-only chain_score call runs on the chip, keeping
+host traceback only for the per-read winner — the same score_only /
+finalize split as the reference (aligner_ksw2.hpp:2068-2075).
+
+Exactness of the row recurrence: within a row,
+  E[j] = max(E[j-1], H[j-1] - go) - ge
+and the E-through-H feedback can be dropped because opening a gap from
+an E cell is never better than extending it (go >= 0). With
+Ht = max(M, F) (the row's H candidates excluding E):
+  E[j] = max_{k<=j-1} (HT[k] - go - (j-k)*ge),   HT[-1] = row boundary
+which is a running max of (HT[k] + k*ge) — one exact jax.lax.cummax per
+row. int32 throughout; ties in max/argmax reproduce extz_lane's strict
+'>' scan (first maximum). Parity pinned by tests/test_extz_device.py
+over random + degenerate shapes against the host lane.
+
+Jobs reference device-resident data (the read-lane matrix already on
+device for the seed stage, the text in HBM), so the host->device job
+stream is 7 small int32 vectors and the device->host result is 3 —
+essential under a ~25 ms/transfer, ~25 MB/s device->host tunnel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 28)     # EXTZ_NEG (native/extz_core.h)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("QMAX", "TMAX", "sm", "sx", "go", "ge"))
+def extz_score_batch(text, lanes, qrow, qoff, qrev, qlen,
+                     tpos, trev, tlen, QMAX, TMAX,
+                     sm=2, sx=4, go=4, ge=2):
+    """Exact extz score DP for J jobs.
+
+    text: int8[n+pad] device text; lanes: int8/int32[R, M] read codes.
+    Per job: query char k = lanes[qrow, qoff +/- k] (qrev flips the
+    direction), target char k = text[tpos + k] or text[tpos + tlen-1-k]
+    (trev). Requires 1 <= qlen <= QMAX, 1 <= tlen <= TMAX (the broker
+    computes degenerate/oversized jobs host-side).
+
+    Returns (mqe, mqe_t, corner) int32[J]."""
+    J = qrow.shape[0]
+    M = lanes.shape[1]
+    n = text.shape[0]
+
+    k = jnp.arange(QMAX, dtype=jnp.int32)
+    qidx = qoff[:, None] + jnp.where(qrev[:, None], -k[None, :], k[None, :])
+    q = lanes[qrow[:, None], jnp.clip(qidx, 0, M - 1)].astype(jnp.int32)
+
+    kt = jnp.arange(TMAX, dtype=jnp.int32)
+    tidx = tpos[:, None] + jnp.where(
+        trev[:, None], tlen[:, None] - 1 - kt[None, :], kt[None, :])
+    t = text[jnp.clip(tidx, 0, n - 1)].astype(jnp.int32)
+    t_n = (t == 0) | (t == 5)
+
+    karr = kt
+    ge32, go32 = jnp.int32(ge), jnp.int32(go)
+    H0 = -(go32 + ge32 * (karr + 1))[None, :].repeat(J, 0)   # H[-1][j]
+    F0 = jnp.full((J, TMAX), NEG, jnp.int32)
+    col = karr[None, :]
+    in_t = col < tlen[:, None]
+
+    init = (H0, F0,
+            jnp.zeros((J,), jnp.int32),            # mqe
+            jnp.full((J,), -1, jnp.int32),         # mqe_t
+            jnp.zeros((J,), jnp.int32))            # corner
+
+    def row(carry, xs):
+        Hp, F, mqe, mqe_t, corner = carry
+        qi, i = xs                                  # qi: int32[J]
+        qi_n = (qi == 0) | (qi == 5)
+        s = jnp.where(qi_n[:, None] | t_n, 0,
+                      jnp.where(qi[:, None] == t, sm, -sx)).astype(jnp.int32)
+        hb_prev = jnp.where(i == 0, 0, -(go32 + ge32 * i))   # H[i-1][-1]
+        hb = -(go32 + ge32 * (i + 1))                        # H[i][-1]
+        M_ = jnp.concatenate(
+            [jnp.full((J, 1), hb_prev, jnp.int32), Hp[:, :-1]], axis=1) + s
+        Fn = jnp.maximum(F - ge32, Hp - go32 - ge32)
+        Ht = jnp.maximum(M_, Fn)
+        A = Ht + col * ge32
+        P = jax.lax.cummax(jnp.concatenate(
+            [jnp.full((J, 1), hb - ge32, jnp.int32), A[:, :-1]], axis=1),
+            axis=1)
+        E = P - go32 - col * ge32 - ge32
+        Hn = jnp.maximum(Ht, E)
+
+        last = (i == qlen - 1)
+        rowv = jnp.where(in_t, Hn, NEG)
+        rmax = jnp.max(rowv, axis=1)
+        rarg = jnp.argmax(rowv, axis=1).astype(jnp.int32)
+        cval = jnp.take_along_axis(
+            Hn, jnp.clip(tlen[:, None] - 1, 0, TMAX - 1), axis=1)[:, 0]
+        mqe = jnp.where(last, rmax, mqe)
+        mqe_t = jnp.where(last, rarg, mqe_t)
+        corner = jnp.where(last, cval, corner)
+        return (Hn, Fn, mqe, mqe_t, corner), None
+
+    (_, _, mqe, mqe_t, corner), _ = jax.lax.scan(
+        row, init, (q.T, jnp.arange(QMAX, dtype=jnp.int32)))
+    return mqe, mqe_t, corner
+
+
+# host-side tiering: (QMAX, TMAX) buckets so tiny gap jobs don't pay a
+# full-read-width DP and each distinct shape compiles once
+def job_tiers(read_pad, ext_len):
+    small = (32, 32)
+    big = (-(-read_pad // 32) * 32, max(-(-(ext_len + 8) // 64) * 64, 128))
+    return small, big
+
+
+def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
+    """Dispatch a numpy job dict through the tiered device kernels.
+
+    jobs: dict of numpy arrays (qrow, qoff, qrev, qlen, tpos, trev,
+    tlen) of length J (J >= 0); oversized jobs must have been filtered
+    by the broker. Returns (mqe, mqe_t, corner) numpy int32[J]."""
+    J = jobs["qrow"].shape[0]
+    out_mqe = np.zeros(J, np.int32)
+    out_mqt = np.full(J, -1, np.int32)
+    out_cor = np.zeros(J, np.int32)
+    if J == 0:
+        return out_mqe, out_mqt, out_cor
+    small, big = job_tiers(read_pad, ext_len)
+    sel_small = (jobs["qlen"] <= small[0]) & (jobs["tlen"] <= small[1])
+    for tier, mask in ((small, sel_small), (big, ~sel_small)):
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            continue
+        pad = (-idx.size) % 8
+        take = lambda k: jnp.asarray(np.concatenate(
+            [jobs[k][idx], np.zeros(pad, jobs[k].dtype)])) if pad else \
+            jnp.asarray(jobs[k][idx])
+        args = {k: take(k) for k in ("qrow", "qoff", "qrev", "qlen",
+                                     "tpos", "trev", "tlen")}
+        mqe, mqt, cor = extz_score_batch(
+            text, lanes, args["qrow"], args["qoff"],
+            args["qrev"].astype(bool), args["qlen"], args["tpos"],
+            args["trev"].astype(bool), args["tlen"],
+            QMAX=tier[0], TMAX=tier[1],
+            sm=sw.smatch, sx=sw.smismatch, go=sw.gapo, ge=sw.gape)
+        res = np.asarray(jnp.stack([mqe, mqt, cor]))
+        out_mqe[idx] = res[0, :idx.size]
+        out_mqt[idx] = res[1, :idx.size]
+        out_cor[idx] = res[2, :idx.size]
+    return out_mqe, out_mqt, out_cor

@@ -132,6 +132,40 @@ def extract_windows(tables, starts, W):
     return ch.reshape(L, (W // 4) * 4)[:, :W]
 
 
+def _pack_rows_w32(rows_i32):
+    """[R, M] int32 codes (< 256) -> [R, ceil(M/4)] uint32, 4 codes per
+    word (LSB first) — the row-wise analog of text_w32."""
+    R, M = rows_i32.shape
+    pad = (-M) % 4
+    if pad:
+        rows_i32 = jnp.pad(rows_i32, ((0, 0), (0, pad)))
+    w = rows_i32.astype(jnp.uint32).reshape(R, -1, 4)
+    return w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | \
+        (w[..., 3] << 24)
+
+
+def extract_row_windows(rw32, rows, starts, C):
+    """Codes int32[L, C] from the word-packed rows: window starting at
+    (rows[l], starts[l]). Row-wise extract_windows — C/4+1 word gathers
+    per lane instead of C element gathers (the LCE stage's read-side
+    gathers were ~40% of seed-stage device time before this)."""
+    assert C % 4 == 0
+    L = rows.shape[0]
+    W4 = rw32.shape[1]
+    starts = jnp.maximum(starts, 0)
+    nw = C // 4 + 1
+    w0 = starts >> 2
+    ph = ((starts & 3) * 8).astype(jnp.uint32)[:, None]
+    idx = jnp.clip(w0[:, None] + jnp.arange(nw)[None, :], 0, W4 - 1)
+    words = rw32[rows[:, None], idx]
+    lo = words[:, :-1] >> ph
+    hi = jnp.where(ph == 0, jnp.uint32(0), words[:, 1:] << (32 - ph))
+    merged = lo | hi
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+    ch = ((merged[..., None] >> shifts) & 0xFF).astype(jnp.int32)
+    return ch.reshape(L, (C // 4) * 4)[:, :C]
+
+
 def _compact(mask, W):
     """Dense worklist of the True lanes of mask [L]: returns (src int32[W]
     source lane per slot, active bool[W]). Overflow beyond W is dropped."""
@@ -200,12 +234,14 @@ def ms_lengths_batch(tables, reads, read_lens, ptr,
     # survivors compacted into a small pool. Text chars come from the
     # word-packed text (extract_windows): C/4+1 word gathers +
     # in-register unpack instead of per-char byte gathers.
+    reads_w32 = _pack_rows_w32(reads)
+
     def lce_round(wb_, wcol_, wptr_v, l_, C):
         d = jnp.arange(C)[None, :]
         roff = wcol_[:, None] + l_[:, None] + d
         rin = roff < read_lens[wb_][:, None]
         tin = (wptr_v[:, None] + l_[:, None] + d) < n
-        rch = reads[wb_[:, None], jnp.clip(roff, 0, M - 1)]
+        rch = extract_row_windows(reads_w32, wb_, wcol_ + l_, C)
         tch = extract_windows(tables, wptr_v + l_, C)
         neq = ~(rin & tin & (rch == tch))
         anybad = jnp.any(neq, axis=1)
