@@ -73,6 +73,10 @@ class AlignConfig:
     # for hosts without an accelerator; both feed the same post-seed
     engine: str = "tpu"
     secondary_chains: bool = False   # find_chains_secondary (-Z)
+    # score-pass extz extensions on the TPU (plan/resolve split in the
+    # native runtime; ops/extz.py kernel). Host extz when False or on
+    # the cpu engine / sharded path.
+    device_extz: bool = True
     n_seeds_thr: int = 1000          # per-genome occ filter (-S)
     filter_seeds: bool = True        # -s disables
     left_mem_check: bool = True      # -a disables (check_left_MEM)
@@ -307,8 +311,8 @@ class Aligner:
                 W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
                 wire = pack_seeds_wire(seeds, W=W, occ_cap=OC)
             return dict(reads=reads, seeds=seeds, wire=wire, W=W, occ_cap=OC,
-                        fwd=fwd, rc=rc, lens=lens, fcodes=fcodes,
-                        rcodes=rcodes, ctrs=ctrs)
+                        lanes=lanes, fwd=fwd, rc=rc, lens=lens,
+                        fcodes=fcodes, rcodes=rcodes, ctrs=ctrs)
 
         with phase_timer("device dispatch"):
             dev = _device_pipeline(self.tables, self.put_batch(fwd),
@@ -513,10 +517,29 @@ class Aligner:
             h = dict(h)
             h["seeds"], h["wire"] = seeds, wire
             h["W"], h["occ_cap"] = W, OC
+            if "lanes" in h:
+                h["lanes"] = lanes
             c = np.asarray(ctrs).reshape(-1, 3).sum(axis=0)
             if c[0] == 0 and c[1] == 0:
                 break
         return h
+
+    def _extz_runner_kwargs(self, h):
+        """kwargs enabling the device score-pass in postseed_se (the
+        plan/resolve split): active on the TPU engine with the read
+        lanes still device-resident. {} -> host extz."""
+        if not (self.cfg.device_extz and "lanes" in h):
+            return {}
+        from ..ops.extz import run_extz_jobs, job_caps
+        cfg = self.cfg
+        text, lanes = self.tables["text"], h["lanes"]
+
+        def runner(jobs):
+            with phase_timer("device extz"):
+                return run_extz_jobs(text, lanes, jobs, cfg.read_pad,
+                                     cfg.ext_len, cfg.sw)
+        q_cap, t_cap = job_caps(cfg.read_pad, cfg.ext_len)
+        return dict(extz_runner=runner, q_cap=q_cap, t_cap=t_cap)
 
     def _pull_wire(self, h, timer="device wait"):
         """One-transfer pull of the packed-seed wire vector + host
@@ -566,10 +589,12 @@ class Aligner:
                 1 for r in records if not (r.flag & SAM_UNMAPPED))
             return records
         packed = self._pull_wire(h)
+        runner_kw = self._extz_runner_kwargs(h)
         with phase_timer("native postseed"):
             records, skipped = postseed_se(
                 self.index, packed, h["fwd"], h["rc"], h["lens"],
-                h["reads"], self.postseed_config(), liftidx=self.liftidx)
+                h["reads"], self.postseed_config(), liftidx=self.liftidx,
+                **runner_kw)
         self.last_chains_skipped = [int(x) for x in skipped]
         self.stats["processed"] += len(records)
         self.stats["aligned"] += sum(

@@ -72,6 +72,29 @@ def _configure(lib):
         + [ctypes.c_void_p] * 7 + [ctypes.c_int64] * 3
         + [ctypes.POINTER(SeParams)]
         + [ctypes.c_void_p] * 23)
+    # device-extz split: plan -> jobs -> resolve -> free
+    lib.monitpu_postseed_se_plan.restype = ctypes.c_int64
+    lib.monitpu_postseed_se_plan.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64] * 2
+        + [ctypes.c_void_p] * 7 + [ctypes.c_int64] * 3
+        + [ctypes.POINTER(SeParams)]
+        + [ctypes.c_int32] * 2 + [ctypes.POINTER(ctypes.c_void_p)])
+    lib.monitpu_postseed_se_jobs.restype = ctypes.c_int
+    lib.monitpu_postseed_se_jobs.argtypes = [ctypes.c_void_p] * 8
+    lib.monitpu_postseed_se_resolve.restype = ctypes.c_int
+    lib.monitpu_postseed_se_resolve.argtypes = (
+        [ctypes.c_void_p]
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+           ctypes.c_int32]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int64] * 2
+        + [ctypes.POINTER(SeParams)]
+        + [ctypes.c_void_p] * 3
+        + [ctypes.c_void_p] * 23)
+    lib.monitpu_postseed_se_free.restype = None
+    lib.monitpu_postseed_se_free.argtypes = [ctypes.c_void_p]
     lib._postseed_configured = True
     return lib
 
@@ -254,41 +277,17 @@ def _decode_cigar(words, n) -> str:
     return "".join(f"{int(w) >> 4}{_OPS[int(w) & 0xF]}" for w in words[:n])
 
 
-def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
-                liftidx=None):
-    """Run the native SE post-seed pipeline for one batch.
-
-    seeds: either the dense populate_seeds_batch output ([2B, S(=3K), O]
-    occs + [2B, S] cnt/len/idx/valid; packed host-side here) or an
-    already-packed dict (ops/occs.pack_seeds / pack_seeds_host) with an
-    'S' entry; fwd/rc: int8[B, M] padded read codes; lens: int32[B];
-    reads: the (name, seq, qual) triples. Returns (records, skipped).
-    """
-    lib = _configure(_load())
-    B, M = fwd.shape
+def _pack_for_native(seeds):
     if "occ" not in seeds:
-        packed = pack_seeds_host(seeds)
-    else:
-        packed = {k: (v if np.isscalar(v) or isinstance(v, (int, np.integer))
-                      else np.ascontiguousarray(v, np.int32))
-                  for k, v in seeds.items()}
-    S = int(packed["S"])
-    K = S // 3
-    n_seeds = min(int(np.ravel(packed["n_valid"])[0]),
-                  packed["row"].shape[0])
+        return pack_seeds_host(seeds)
+    return {k: (v if np.isscalar(v) or isinstance(v, (int, np.integer))
+                else np.ascontiguousarray(v, np.int32))
+            for k, v in seeds.items()}
 
-    text = np.ascontiguousarray(index.text, np.int8)
-    seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
-    nseq = len(index.seq_names)
-    lhs, lrs, lins, lse = flatten_liftidx(liftidx)
 
-    fwd8 = np.ascontiguousarray(fwd, np.int8)
-    rc8 = np.ascontiguousarray(rc, np.int8)
-    lens32 = np.ascontiguousarray(lens, np.int32)
-
-    p = _params(cfg)
+def _se_out(B, cfg):
     CC, MC, AC = cfg.cigar_cap, cfg.md_cap, cfg.alt_cap
-    o = {
+    return {
         "flag": np.zeros(B, np.int32), "rname": np.zeros(B, np.int32),
         "pos": np.zeros(B, np.int64), "as": np.zeros(B, np.int32),
         "zs": np.zeros(B, np.int32), "nm": np.zeros(B, np.int32),
@@ -304,33 +303,104 @@ def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
         "lift_nm": np.zeros(B, np.int32),
         "lift_rlen": np.zeros(B, np.int32),
         "unmapped_lft": np.zeros(B, np.uint8),
-        "alt_rname": np.zeros((B, AC), np.int32),
-        "alt_pos": np.zeros((B, AC), np.int64),
-        "alt_score": np.zeros((B, AC), np.int32),
+        "alt_rname": np.zeros((B, cfg.alt_cap), np.int32),
+        "alt_pos": np.zeros((B, cfg.alt_cap), np.int64),
+        "alt_score": np.zeros((B, cfg.alt_cap), np.int32),
         "nalt": np.zeros(B, np.int32),
         "chains_skipped": np.zeros(B, np.int32),
     }
-    ptr = lambda a: a.ctypes.data
-    rcode = lib.monitpu_postseed_se(
+
+
+_PTR = lambda a: a.ctypes.data
+
+
+def _se_out_ptrs(o):
+    return [_PTR(o[k]) for k in (
+        "flag", "rname", "pos", "as", "zs", "nm", "rlen", "cigar",
+        "ncigar", "md", "lift_rname", "lift_pos", "lift_cigar",
+        "lift_ncigar", "lift_md", "lift_nm", "lift_rlen", "unmapped_lft",
+        "alt_rname", "alt_pos", "alt_score", "nalt", "chains_skipped")]
+
+
+def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
+                liftidx=None, extz_runner=None, q_cap=None, t_cap=None):
+    """Run the native SE post-seed pipeline for one batch.
+
+    seeds: either the dense populate_seeds_batch output ([2B, S(=3K), O]
+    occs + [2B, S] cnt/len/idx/valid; packed host-side here) or an
+    already-packed dict (ops/occs.pack_seeds / pack_seeds_host) with an
+    'S' entry; fwd/rc: int8[B, M] padded read codes; lens: int32[B];
+    reads: the (name, seq, qual) triples. Returns (records, skipped).
+
+    extz_runner: when given, the score-pass extensions run through it
+    (the TPU kernel, ops/extz.run_extz_jobs-compatible: takes a job
+    dict, returns (mqe, mqe_t, corner)) via the native plan/resolve
+    split; host extz otherwise."""
+    lib = _configure(_load())
+    B, M = fwd.shape
+    packed = _pack_for_native(seeds)
+    S = int(packed["S"])
+    K = S // 3
+    n_seeds = min(int(np.ravel(packed["n_valid"])[0]),
+                  packed["row"].shape[0])
+
+    text = np.ascontiguousarray(index.text, np.int8)
+    seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
+    nseq = len(index.seq_names)
+    lhs, lrs, lins, lse = flatten_liftidx(liftidx)
+
+    fwd8 = np.ascontiguousarray(fwd, np.int8)
+    rc8 = np.ascontiguousarray(rc, np.int8)
+    lens32 = np.ascontiguousarray(lens, np.int32)
+
+    p = _params(cfg)
+    o = _se_out(B, cfg)
+    ptr = _PTR
+    common_head = [
         ptr(text), ctypes.c_int64(text.size), ptr(seq_starts),
         ctypes.c_int32(nseq),
         ptr(lhs), ptr(lrs), ptr(lins), ptr(lse), ctypes.c_int64(lhs.size),
         ptr(fwd8), ptr(rc8), ptr(lens32),
-        ctypes.c_int64(B), ctypes.c_int64(M),
+        ctypes.c_int64(B), ctypes.c_int64(M)]
+    seed_args = [
         ptr(packed["row"]), ptr(packed["slot"]), ptr(packed["len"]),
         ptr(packed["idx"]), ptr(packed["cnt"]), ptr(packed["off"]),
         ptr(packed["occ"]),
-        ctypes.c_int64(n_seeds), ctypes.c_int64(S), ctypes.c_int64(K),
-        ctypes.byref(p),
-        ptr(o["flag"]), ptr(o["rname"]), ptr(o["pos"]), ptr(o["as"]),
-        ptr(o["zs"]), ptr(o["nm"]), ptr(o["rlen"]), ptr(o["cigar"]),
-        ptr(o["ncigar"]), ptr(o["md"]), ptr(o["lift_rname"]),
-        ptr(o["lift_pos"]), ptr(o["lift_cigar"]), ptr(o["lift_ncigar"]),
-        ptr(o["lift_md"]), ptr(o["lift_nm"]), ptr(o["lift_rlen"]),
-        ptr(o["unmapped_lft"]), ptr(o["alt_rname"]), ptr(o["alt_pos"]),
-        ptr(o["alt_score"]), ptr(o["nalt"]), ptr(o["chains_skipped"]))
-    if rcode != 0:
-        raise RuntimeError(f"monitpu_postseed_se rc={rcode}")
+        ctypes.c_int64(n_seeds), ctypes.c_int64(S), ctypes.c_int64(K)]
+
+    if extz_runner is None:
+        rcode = lib.monitpu_postseed_se(
+            *common_head, *seed_args, ctypes.byref(p), *_se_out_ptrs(o))
+        if rcode != 0:
+            raise RuntimeError(f"monitpu_postseed_se rc={rcode}")
+    else:
+        handle = ctypes.c_void_p()
+        n_jobs = lib.monitpu_postseed_se_plan(
+            *common_head, *seed_args, ctypes.byref(p),
+            ctypes.c_int32(q_cap), ctypes.c_int32(t_cap),
+            ctypes.byref(handle))
+        try:
+            jobs = {k: np.zeros(n_jobs, np.int32)
+                    for k in ("qrow", "qoff", "qlen", "tlen")}
+            jobs["tpos"] = np.zeros(n_jobs, np.int64)
+            jobs["qrev"] = np.zeros(n_jobs, np.uint8)
+            jobs["trev"] = np.zeros(n_jobs, np.uint8)
+            lib.monitpu_postseed_se_jobs(
+                handle, ptr(jobs["qrow"]), ptr(jobs["qoff"]),
+                ptr(jobs["qlen"]), ptr(jobs["qrev"]), ptr(jobs["tpos"]),
+                ptr(jobs["tlen"]), ptr(jobs["trev"]))
+            mqe, mqt, cor = extz_runner(jobs)
+            mqe = np.ascontiguousarray(mqe, np.int32)
+            mqt = np.ascontiguousarray(mqt, np.int32)
+            cor = np.ascontiguousarray(cor, np.int32)
+            rcode = lib.monitpu_postseed_se_resolve(
+                handle, *common_head, ctypes.byref(p),
+                ptr(mqe), ptr(mqt), ptr(cor), *_se_out_ptrs(o))
+        finally:
+            lib.monitpu_postseed_se_free(handle)
+        if rcode != 0:
+            raise RuntimeError(
+                f"postseed_se_resolve job mismatch (rc={rcode})")
 
     names = list(index.seq_names)
     records = []

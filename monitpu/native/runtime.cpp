@@ -460,6 +460,68 @@ void find_chains(const std::vector<Mem>& mems, const SeParams& cfg,
 
 // ---- fill_chain (oracle/fill.py; aligner_ksw2.hpp:2752-3196) ----
 
+// Device extz score-pass plumbing (the score_only/finalize split of
+// aligner_ksw2.hpp:2068-2075 with the score pass on the TPU):
+// PLAN replays the selection loop with dummy scores, RECORDING every
+// score-only extz call as a job descriptor — the SET of score-pass
+// calls is score-independent (chain order is fixed by chain-DP scores
+// and check_left_MEM positions only). RESOLVE replays the same loop
+// consuming the device-computed (mqe, mqe_t, corner) in recording
+// order, then runs host traceback for the winner only. Overlap-realign
+// chains compute lc/rc host-side in BOTH passes (their realign window
+// depends on lc/rc mqe_t, which PLAN would not have yet).
+struct ExtzJob {
+  int32_t qrow, qoff, qlen, qrev;
+  int64_t tpos;
+  int32_t tlen, trev;
+};
+
+enum { MODE_HOST = 0, MODE_PLAN = 1, MODE_RESOLVE = 2 };
+
+struct Broker {
+  int mode = MODE_HOST;
+  std::vector<ExtzJob>* rec = nullptr;  // PLAN: current read's jobs
+  const ExtzJob* jobs = nullptr;        // RESOLVE: global job array
+  const int32_t *mqe = nullptr, *mqe_t = nullptr, *corner = nullptr;
+  int64_t cursor = 0, end = 0;
+  int32_t q_cap = 0, t_cap = 0;
+  int32_t cur_qrow = 0;  // device lane row of the current chain's read
+  int64_t mismatch = 0, host_jobs = 0;
+
+  bool dev_ok(int64_t ql, int64_t tl) const {
+    return mode != MODE_HOST && ql >= 1 && tl >= 1 && ql <= q_cap &&
+           tl <= t_cap;
+  }
+  // returns (mqe, mqe_t, corner) for a recorded/consumed job
+  void take(int32_t qoff, int32_t qlen, int32_t qrev, int64_t tpos,
+            int32_t tlen, int32_t trev, int32_t* o_mqe, int32_t* o_mqt,
+            int32_t* o_cor) {
+    if (mode == MODE_PLAN) {
+      rec->push_back({cur_qrow, qoff, qlen, qrev, tpos, tlen, trev});
+      *o_mqe = 0;
+      *o_mqt = -1;
+      *o_cor = 0;
+      return;
+    }
+    if (cursor >= end) {
+      ++mismatch;
+      *o_mqe = 0;
+      *o_mqt = -1;
+      *o_cor = 0;
+      return;
+    }
+    const ExtzJob& j = jobs[cursor];
+    if (j.qrow != cur_qrow || j.qlen != qlen || j.tlen != tlen ||
+        j.qoff != qoff || j.tpos != tpos) {
+      ++mismatch;
+    }
+    *o_mqe = mqe[cursor];
+    *o_mqt = mqe_t[cursor];
+    *o_cor = corner[cursor];
+    ++cursor;
+  }
+};
+
 struct Scratch {
   std::vector<int32_t> H, F;
   std::vector<uint8_t> dirs;
@@ -468,10 +530,12 @@ struct Scratch {
   DpState dp;
   std::vector<Anchor> anchors;
   std::vector<Chain> chains;
+  std::vector<Mem> mems;
   // per-genome occurrence counter with epoch stamps: cleared in O(1)
   // per seed instead of O(nseq) (matters on many-haplotype pangenomes)
   std::vector<int32_t> genome_cnt, genome_epoch, slotmap;
   int32_t epoch = 0;
+  Broker bk;
 };
 
 
@@ -545,51 +609,10 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
   bool have_lc = false, have_rc = false;
 
   int64_t mem_pos = m0.occs[ca.front().occ_i];
-  if (lcs_len > 0) {
-    int64_t lc_occ, lc_len;
-    if (mem_pos > p.ext_len) {  // aligner_ksw2.hpp:2793-2795
-      lc_occ = mem_pos - p.ext_len;
-      lc_len = p.ext_len;
-    } else {  // reference quirk: overlaps INTO the MEM
-      lc_occ = 0;
-      lc_len = p.ext_len - mem_pos;
-    }
-    lc_len = std::min(lc_len, n - lc_occ);
-    // reversed left query context + reversed target context
-    if ((int64_t)s.buf.size() < lcs_len + lc_len)
-      s.buf.resize(lcs_len + lc_len);
-    int8_t* lcs = s.buf.data();
-    for (int32_t k = 0; k < lcs_len; ++k) lcs[k] = seq[lcs_len - 1 - k];
-    int8_t* lc = s.buf.data() + lcs_len;
-    for (int64_t k = 0; k < lc_len; ++k)
-      lc[k] = text[lc_occ + lc_len - 1 - k];
-    ez_lc = run_extz(c, s, lcs, lcs_len, lc, int32_t(lc_len), flags,
-                     score_only ? nullptr : &lc_ops);
-    score_lc = ez_lc.mqe;
-    have_lc = true;
-  }
-  if (rcs_len > 0) {
-    int64_t rc_occ = mL.occs[ca.back().occ_i] + mL.len;
-    int64_t rc_len = rc_occ < n - p.ext_len ? p.ext_len : n - rc_occ;
-    ez_rc = run_extz(c, s, seq + rcs_off, rcs_len, text + rc_occ,
-                     int32_t(rc_len), flags, score_only ? nullptr : &rc_ops);
-    score_rc = ez_rc.mqe;
-    have_rc = true;
-  }
 
-  int64_t total = score_lc + score_rc;
-  int64_t mem_span = mL.occs[ca.back().occ_i] + mL.len - mem_pos;
-  int64_t lc_used = have_lc ? ez_lc.mqe_t + 1 : 0;
-  int64_t rc_used = have_rc ? ez_rc.mqe_t + 1 : 0;
-  int64_t ref_pos = lc_used > mem_pos ? 0 : mem_pos - lc_used;
-  // raw length feeds valid() and lift_rlen (fill.py keeps it unclamped;
-  // Python slicing clamps only the memory access)
-  int64_t ref_len = lc_used + mem_span + rc_used;
-  int64_t ref_len_clamped = std::min(ref_len, n - ref_pos);
-  const int8_t* ref = text + ref_pos;
-  out->pos = ref_pos;
-
-  // overlap detection (aligner_ksw2.hpp:2895-2908)
+  // overlap detection (aligner_ksw2.hpp:2895-2908) — hoisted above the
+  // context extensions so the device broker can keep overlap-realign
+  // chains' lc/rc host-side in both the PLAN and RESOLVE passes
   bool mems_overlap = false;
   {
     int64_t last_ref = mem_pos + m0.len;
@@ -603,6 +626,70 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
       last_seq = seq_occ + mk.len;
     }
   }
+  const bool brokered = score_only && s.bk.mode != MODE_HOST;
+
+  if (lcs_len > 0) {
+    int64_t lc_occ, lc_len;
+    if (mem_pos > p.ext_len) {  // aligner_ksw2.hpp:2793-2795
+      lc_occ = mem_pos - p.ext_len;
+      lc_len = p.ext_len;
+    } else {  // reference quirk: overlaps INTO the MEM
+      lc_occ = 0;
+      lc_len = p.ext_len - mem_pos;
+    }
+    lc_len = std::min(lc_len, n - lc_occ);
+    if (brokered && !mems_overlap && s.bk.dev_ok(lcs_len, lc_len)) {
+      int32_t cor;
+      s.bk.take(lcs_len - 1, lcs_len, 1, lc_occ, int32_t(lc_len), 1,
+                &ez_lc.mqe, &ez_lc.mqe_t, &cor);
+      score_lc = ez_lc.mqe;
+      have_lc = true;
+    } else {
+      if (brokered) ++s.bk.host_jobs;
+      // reversed left query context + reversed target context
+      if ((int64_t)s.buf.size() < lcs_len + lc_len)
+        s.buf.resize(lcs_len + lc_len);
+      int8_t* lcs = s.buf.data();
+      for (int32_t k = 0; k < lcs_len; ++k) lcs[k] = seq[lcs_len - 1 - k];
+      int8_t* lc = s.buf.data() + lcs_len;
+      for (int64_t k = 0; k < lc_len; ++k)
+        lc[k] = text[lc_occ + lc_len - 1 - k];
+      ez_lc = run_extz(c, s, lcs, lcs_len, lc, int32_t(lc_len), flags,
+                       score_only ? nullptr : &lc_ops);
+      score_lc = ez_lc.mqe;
+      have_lc = true;
+    }
+  }
+  if (rcs_len > 0) {
+    int64_t rc_occ = mL.occs[ca.back().occ_i] + mL.len;
+    int64_t rc_len = rc_occ < n - p.ext_len ? p.ext_len : n - rc_occ;
+    if (brokered && !mems_overlap && s.bk.dev_ok(rcs_len, rc_len)) {
+      int32_t cor;
+      s.bk.take(rcs_off, rcs_len, 0, rc_occ, int32_t(rc_len), 0,
+                &ez_rc.mqe, &ez_rc.mqe_t, &cor);
+      score_rc = ez_rc.mqe;
+      have_rc = true;
+    } else {
+      if (brokered) ++s.bk.host_jobs;
+      ez_rc = run_extz(c, s, seq + rcs_off, rcs_len, text + rc_occ,
+                       int32_t(rc_len), flags,
+                       score_only ? nullptr : &rc_ops);
+      score_rc = ez_rc.mqe;
+      have_rc = true;
+    }
+  }
+
+  int64_t total = score_lc + score_rc;
+  int64_t mem_span = mL.occs[ca.back().occ_i] + mL.len - mem_pos;
+  int64_t lc_used = have_lc ? ez_lc.mqe_t + 1 : 0;
+  int64_t rc_used = have_rc ? ez_rc.mqe_t + 1 : 0;
+  int64_t ref_pos = lc_used > mem_pos ? 0 : mem_pos - lc_used;
+  // raw length feeds valid() and lift_rlen (fill.py keeps it unclamped;
+  // Python slicing clamps only the memory access)
+  int64_t ref_len = lc_used + mem_span + rc_used;
+  int64_t ref_len_clamped = std::min(ref_len, n - ref_pos);
+  const int8_t* ref = text + ref_pos;
+  out->pos = ref_pos;
 
   std::vector<std::pair<int64_t, Cigar>> ez_cc;
   bool realign = mems_overlap;
@@ -629,18 +716,26 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
         ez_cc.push_back({gsc, {{2, 0}}});
       } else {
         const Mem& pm = mems[ca[k - 1].mem_i];
-        int64_t cc_occ = pm.occs[ca[k - 1].occ_i] + pm.len;
-        int64_t cc_len = ref_occ - cc_occ;
-        cc_occ -= ref_pos;
+        int64_t cc_abs = pm.occs[ca[k - 1].occ_i] + pm.len;
+        int64_t cc_len = ref_occ - cc_abs;
+        int64_t cc_occ = cc_abs - ref_pos;
         int64_t ccs_pos = pm.idx + pm.len;
         int64_t ccs_len = seq_occ - ccs_pos;
-        // global, KSW_EZ_RIGHT; traceback only needed when finalizing
-        Cigar gap_ops;
-        ExtzOut ez = run_extz(c, s, seq + ccs_pos, int32_t(ccs_len),
-                              ref + cc_occ, int32_t(cc_len),
-                              score_only ? FLAG_SCORE_ONLY : 0,
-                              score_only ? nullptr : &gap_ops);
-        ez_cc.push_back({ez.score, std::move(gap_ops)});
+        if (brokered && s.bk.dev_ok(ccs_len, cc_len)) {
+          int32_t gm, gt, gcor;
+          s.bk.take(int32_t(ccs_pos), int32_t(ccs_len), 0, cc_abs,
+                    int32_t(cc_len), 0, &gm, &gt, &gcor);
+          ez_cc.push_back({gcor, {}});
+        } else {
+          if (brokered) ++s.bk.host_jobs;
+          // global, KSW_EZ_RIGHT; traceback only when finalizing
+          Cigar gap_ops;
+          ExtzOut ez = run_extz(c, s, seq + ccs_pos, int32_t(ccs_len),
+                                ref + cc_occ, int32_t(cc_len),
+                                score_only ? FLAG_SCORE_ONLY : 0,
+                                score_only ? nullptr : &gap_ops);
+          ez_cc.push_back({ez.score, std::move(gap_ops)});
+        }
       }
       const Mem& pm = mems[ca[k - 1].mem_i];
       total += int64_t(pm.len) * p.smatch + ez_cc.back().first;
@@ -648,7 +743,15 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
       last_seq = seq_occ + mk.len;
     }
     total += int64_t(mL.len) * p.smatch;
+  } else if (brokered && s.bk.dev_ok(slen, ref_len_clamped)) {
+    // whole-chain realign: lc/rc above ran host-side (both passes), so
+    // ref_pos/ref_len_clamped are identical in PLAN and RESOLVE
+    int32_t rm, rt, rcor;
+    s.bk.take(0, slen, 0, ref_pos, int32_t(ref_len_clamped), 0, &rm, &rt,
+              &rcor);
+    total = rcor;
   } else {
+    if (brokered) ++s.bk.host_jobs;
     ExtzOut ez = run_extz(c, s, seq, slen, ref, int32_t(ref_len_clamped),
                           FLAG_SCORE_ONLY, nullptr);
     total = ez.score;
@@ -910,9 +1013,25 @@ void emit_str(const std::string& sv, char* out, int32_t cap) {
   out[l] = 0;
 }
 
+// per-read state kept between the PLAN and RESOLVE passes
+struct ReadPlan {
+  std::vector<Mem> mems;
+  std::vector<Anchor> anchors;
+  std::vector<Chain> chains;
+  std::vector<ExtzJob> jobs;
+  int64_t job_off = 0;
+};
+
+struct SeHandle {
+  std::vector<ReadPlan> plans;
+  std::vector<ExtzJob> alljobs;
+  int32_t q_cap = 0, t_cap = 0;  // resolve must replay plan's decisions
+};
+
 void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
                const int8_t* fwd, const int8_t* rcv, int32_t slen,
-               int64_t B, int64_t b, const SeOut& o) {
+               int64_t B, int64_t b, const SeOut& o, int mode = MODE_HOST,
+               ReadPlan* plan = nullptr) {
   const SeParams& p = *c.p;
   auto set_unmapped = [&] {
     o.flag[b] = 4;
@@ -927,15 +1046,42 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
   o.chains_skipped[b] = 0;
   o.unmapped_lft[b] = 0;
 
-  std::vector<Mem> mems;
-  build_mems(c, sd, s, B, b, mems);
-  if (p.filter_freq) seed_freq_filter(mems, p.freq_thr);
-
-  find_chains(mems, p, p.secondary != 0, s.anchors, s.chains, s.dp);
-  const std::vector<Anchor>& anchors = s.anchors;
-  const std::vector<Chain>& chains = s.chains;
+  const std::vector<Mem>* memsp;
+  const std::vector<Anchor>* anchorsp;
+  const std::vector<Chain>* chainsp;
+  if (mode == MODE_RESOLVE) {
+    memsp = &plan->mems;
+    anchorsp = &plan->anchors;
+    chainsp = &plan->chains;
+    s.bk.mode = MODE_RESOLVE;
+    s.bk.cursor = plan->job_off;
+    s.bk.end = plan->job_off + (int64_t)plan->jobs.size();
+  } else {
+    s.mems.clear();
+    build_mems(c, sd, s, B, b, s.mems);
+    if (p.filter_freq) seed_freq_filter(s.mems, p.freq_thr);
+    find_chains(s.mems, p, p.secondary != 0, s.anchors, s.chains, s.dp);
+    if (mode == MODE_PLAN) {
+      plan->mems = std::move(s.mems);
+      plan->anchors = std::move(s.anchors);
+      plan->chains = std::move(s.chains);
+      memsp = &plan->mems;
+      anchorsp = &plan->anchors;
+      chainsp = &plan->chains;
+      s.bk.mode = MODE_PLAN;
+      s.bk.rec = &plan->jobs;
+    } else {
+      memsp = &s.mems;
+      anchorsp = &s.anchors;
+      chainsp = &s.chains;
+      s.bk.mode = MODE_HOST;
+    }
+  }
+  const std::vector<Mem>& mems = *memsp;
+  const std::vector<Anchor>& anchors = *anchorsp;
+  const std::vector<Chain>& chains = *chainsp;
   if (chains.empty()) {
-    set_unmapped();
+    if (mode != MODE_PLAN) set_unmapped();
     return;
   }
 
@@ -993,6 +1139,7 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
       for (auto it = ch.anchors.rbegin(); it != ch.anchors.rend(); ++it)
         fwd_anchors.push_back(anchors[*it]);
       const int8_t* read = (ch.mate & 2) ? rcv : fwd;
+      s.bk.cur_qrow = int32_t((ch.mate & 2) ? B + b : b);
       FillOut fo;
       chain_score(c, s, mems, fwd_anchors, read, slen, min_score, true,
                   &fo);
@@ -1037,6 +1184,10 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
       }
     }
   }
+  if (mode == MODE_PLAN) {
+    s.bk.mode = MODE_HOST;
+    return;  // the tail needs real scores; resolve replays from here
+  }
   o.nalt[b] = nalt;
 
   while ((int32_t)best_scores.size() < 2)
@@ -1063,7 +1214,18 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
   bool strand = (ch.mate & 2) != 0;
   const int8_t* read = strand ? rcv : fwd;
   FillOut fin;
-  chain_score(c, s, mems, fwd_anchors, read, slen, min_score, false, &fin);
+  if (mode == MODE_RESOLVE) {
+    // the winner's score pass already ran on the device; run host
+    // traceback/finalize only (the reference's score_only/finalize
+    // split, aligner_ksw2.hpp:2068-2075)
+    s.bk.mode = MODE_HOST;
+    fill_chain(c, s, mems, fwd_anchors, read, slen, false, &fin);
+    fin.score = best_scores[0].score;
+    fin.pos = fin.unmapped_lft ? 0 : fin.out_pos;
+  } else {
+    chain_score(c, s, mems, fwd_anchors, read, slen, min_score, false,
+                &fin);
+  }
   if (fin.score < min_score || !fin.finalized) {
     int32_t keep_alt = o.nalt[b];
     set_unmapped();
@@ -2052,6 +2214,150 @@ int monitpu_postseed_se(
   }
   return 0;
 }
+
+// ---- device-extz split entries (plan -> device score -> resolve) ----
+
+int64_t monitpu_postseed_se_plan(
+    const int8_t* text, int64_t n, const int64_t* seq_starts, int32_t nseq,
+    const int64_t* lift_hs, const int64_t* lift_rs, const uint8_t* lift_ins,
+    const int64_t* lift_se, int64_t n_lift, const int8_t* fwd,
+    const int8_t* rcv, const int32_t* lens, int64_t B, int64_t M,
+    const int32_t* s_row, const int32_t* s_slot, const int32_t* s_len,
+    const int32_t* s_idx, const int32_t* s_cnt, const int32_t* s_off,
+    const int32_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
+    const SeParams* prm, int32_t q_cap, int32_t t_cap, void** out_handle) {
+  Ctx c{text,    n,       seq_starts, nseq,   lift_hs,
+        lift_rs, lift_ins, lift_se,    n_lift, prm};
+  SeedArrays sd{s_row, s_slot, s_len, s_idx, s_cnt, s_off, s_occ,
+                n_seeds, S, K, {}, {}};
+  bucket_rows(sd, 2 * B);
+  auto* h = new SeHandle();
+  h->plans.resize(B);
+  h->q_cap = q_cap;
+  h->t_cap = t_cap;
+  int32_t n_threads = std::max(1, prm->n_threads);
+  // plan-mode writes go to throwaway per-field sinks (resolve rewrites
+  // everything); only chains_skipped / alt bookkeeping is touched in
+  // the selection loop, but set_unmapped may fire for chain-less reads
+  std::vector<int32_t> dflag(B), drname(B), dzs(B), dnm(B), drlen(B),
+      dncig(B), dlnc(B), dlnm(B), dlrl(B), dnalt(B), dskip(B), das(B),
+      dlrn(B), dalt_r(B * prm->alt_cap), dalt_s(B * prm->alt_cap);
+  std::vector<int64_t> dpos(B), dlpos(B), dalt_p(B * prm->alt_cap);
+  std::vector<uint8_t> d8(B, 0);
+  std::vector<char> dmd(B * prm->md_cap, 0), dlmd(B * prm->md_cap, 0);
+  std::vector<uint32_t> dcig(B * prm->cigar_cap, 0),
+      dlcig(B * prm->cigar_cap, 0);
+  SeOut dummy{dflag.data(),  drname.data(), dpos.data(),   das.data(),
+              dzs.data(),    dnm.data(),    drlen.data(),  dcig.data(),
+              dncig.data(),  dmd.data(),    dlrn.data(),   dlpos.data(),
+              dlcig.data(),  dlnc.data(),   dlmd.data(),   dlnm.data(),
+              dlrl.data(),   d8.data(),     dalt_r.data(), dalt_p.data(),
+              dalt_s.data(), dnalt.data(),  dskip.data()};
+  auto work = [&](int64_t lo, int64_t hi) {
+    Scratch s;
+    s.bk.q_cap = q_cap;
+    s.bk.t_cap = t_cap;
+    for (int64_t b = lo; b < hi; ++b)
+      align_one(c, s, sd, fwd + b * M, rcv + b * M, lens[b], B, b, dummy,
+                MODE_PLAN, &h->plans[b]);
+  };
+  if (n_threads == 1 || B <= 1) {
+    work(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(B, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+    for (auto& t : pool) t.join();
+  }
+  int64_t total = 0;
+  for (auto& pl : h->plans) total += (int64_t)pl.jobs.size();
+  h->alljobs.reserve(total);
+  for (auto& pl : h->plans) {
+    pl.job_off = (int64_t)h->alljobs.size();
+    h->alljobs.insert(h->alljobs.end(), pl.jobs.begin(), pl.jobs.end());
+  }
+  *out_handle = h;
+  return total;
+}
+
+int monitpu_postseed_se_jobs(void* handle, int32_t* qrow, int32_t* qoff,
+                             int32_t* qlen, uint8_t* qrev, int64_t* tpos,
+                             int32_t* tlen, uint8_t* trev) {
+  auto* h = (SeHandle*)handle;
+  for (size_t k = 0; k < h->alljobs.size(); ++k) {
+    const ExtzJob& j = h->alljobs[k];
+    qrow[k] = j.qrow;
+    qoff[k] = j.qoff;
+    qlen[k] = j.qlen;
+    qrev[k] = uint8_t(j.qrev);
+    tpos[k] = j.tpos;
+    tlen[k] = j.tlen;
+    trev[k] = uint8_t(j.trev);
+  }
+  return 0;
+}
+
+int monitpu_postseed_se_resolve(
+    void* handle, const int8_t* text, int64_t n, const int64_t* seq_starts,
+    int32_t nseq, const int64_t* lift_hs, const int64_t* lift_rs,
+    const uint8_t* lift_ins, const int64_t* lift_se, int64_t n_lift,
+    const int8_t* fwd, const int8_t* rcv, const int32_t* lens, int64_t B,
+    int64_t M, const SeParams* prm, const int32_t* j_mqe,
+    const int32_t* j_mqe_t, const int32_t* j_corner, int32_t* o_flag,
+    int32_t* o_rname, int64_t* o_pos, int32_t* o_as, int32_t* o_zs,
+    int32_t* o_nm, int32_t* o_rlen, uint32_t* o_cigar, int32_t* o_ncigar,
+    char* o_md, int32_t* o_lift_rname, int64_t* o_lift_pos,
+    uint32_t* o_lift_cigar, int32_t* o_lift_ncigar, char* o_lift_md,
+    int32_t* o_lift_nm, int32_t* o_lift_rlen, uint8_t* o_unmapped_lft,
+    int32_t* o_alt_rname, int64_t* o_alt_pos, int32_t* o_alt_score,
+    int32_t* o_nalt, int32_t* o_chains_skipped) {
+  auto* h = (SeHandle*)handle;
+  Ctx c{text,    n,       seq_starts, nseq,   lift_hs,
+        lift_rs, lift_ins, lift_se,    n_lift, prm};
+  SeedArrays sd{};  // unused in resolve (plans carry mems/chains)
+  SeOut out{o_flag,       o_rname,       o_pos,        o_as,
+            o_zs,         o_nm,          o_rlen,       o_cigar,
+            o_ncigar,     o_md,          o_lift_rname, o_lift_pos,
+            o_lift_cigar, o_lift_ncigar, o_lift_md,    o_lift_nm,
+            o_lift_rlen,  o_unmapped_lft, o_alt_rname, o_alt_pos,
+            o_alt_score,  o_nalt,        o_chains_skipped};
+  int32_t n_threads = std::max(1, prm->n_threads);
+  std::vector<int64_t> mism(std::max(n_threads, 1), 0);
+  auto work = [&](int32_t ti, int64_t lo, int64_t hi) {
+    Scratch s;
+    s.bk.q_cap = h->q_cap;  // replay plan's dev_ok decisions exactly
+    s.bk.t_cap = h->t_cap;
+    s.bk.jobs = h->alljobs.data();
+    s.bk.mqe = j_mqe;
+    s.bk.mqe_t = j_mqe_t;
+    s.bk.corner = j_corner;
+    for (int64_t b = lo; b < hi; ++b)
+      align_one(c, s, sd, fwd + b * M, rcv + b * M, lens[b], B, b, out,
+                MODE_RESOLVE, &h->plans[b]);
+    mism[ti] = s.bk.mismatch;
+  };
+  if (n_threads == 1 || B <= 1) {
+    work(0, 0, B);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(B, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, t, lo, hi);
+    }
+    for (auto& t : pool) t.join();
+  }
+  int64_t total_mism = 0;
+  for (int64_t m : mism) total_mism += m;
+  return total_mism > 0 ? 1 : 0;
+}
+
+void monitpu_postseed_se_free(void* handle) { delete (SeHandle*)handle; }
 
 // Paired-end entry: seed rows [m1F, m2RC, m2F, m1RC] x B (4B lanes);
 // per-mate outputs in 2B rows (mate1 = b, mate2 = B + b).

@@ -92,11 +92,13 @@ def extz_score_batch(text, lanes, qrow, qoff, qrev, qlen,
             [jnp.full((J, 1), hb_prev, jnp.int32), Hp[:, :-1]], axis=1) + s
         Fn = jnp.maximum(F - ge32, Hp - go32 - ge32)
         Ht = jnp.maximum(M_, Fn)
+        # E[j] = max_{k<=j-1}(HT[k] - go - (j-k)*ge)
+        #      = cummax(HT[k] + k*ge)[j-1] - go - j*ge, HT[-1] = hb
         A = Ht + col * ge32
         P = jax.lax.cummax(jnp.concatenate(
             [jnp.full((J, 1), hb - ge32, jnp.int32), A[:, :-1]], axis=1),
             axis=1)
-        E = P - go32 - col * ge32 - ge32
+        E = P - go32 - col * ge32
         Hn = jnp.maximum(Ht, E)
 
         last = (i == qlen - 1)
@@ -116,11 +118,19 @@ def extz_score_batch(text, lanes, qrow, qoff, qrev, qlen,
 
 
 # host-side tiering: (QMAX, TMAX) buckets so tiny gap jobs don't pay a
-# full-read-width DP and each distinct shape compiles once
+# full-read-width DP and each distinct shape compiles once. Tier 0
+# covers the per-gap globals (typically a few bp around a SNP), tier 1
+# the ext_len context extensions, tier 2 the rare whole-chain realigns.
 def job_tiers(read_pad, ext_len):
-    small = (32, 32)
-    big = (-(-read_pad // 32) * 32, max(-(-(ext_len + 8) // 64) * 64, 128))
-    return small, big
+    q = -(-read_pad // 32) * 32
+    t1 = max(-(-(ext_len + 8) // 64) * 64, 128)
+    t2 = max(-(-(read_pad + 2 * ext_len + 32) // 128) * 128, t1)
+    return [(32, 32), (q, t1), (q, t2)]
+
+
+def job_caps(read_pad, ext_len):
+    tiers = job_tiers(read_pad, ext_len)
+    return max(t[0] for t in tiers), max(t[1] for t in tiers)
 
 
 def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
@@ -135,10 +145,13 @@ def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
     out_cor = np.zeros(J, np.int32)
     if J == 0:
         return out_mqe, out_mqt, out_cor
-    small, big = job_tiers(read_pad, ext_len)
-    sel_small = (jobs["qlen"] <= small[0]) & (jobs["tlen"] <= small[1])
-    for tier, mask in ((small, sel_small), (big, ~sel_small)):
-        idx = np.flatnonzero(mask)
+    tiers = job_tiers(read_pad, ext_len)
+    assigned = np.full(J, len(tiers) - 1, np.int32)
+    for t in range(len(tiers) - 2, -1, -1):
+        fits = (jobs["qlen"] <= tiers[t][0]) & (jobs["tlen"] <= tiers[t][1])
+        assigned = np.where(fits, t, assigned)
+    for t, tier in enumerate(tiers):
+        idx = np.flatnonzero(assigned == t)
         if idx.size == 0:
             continue
         pad = (-idx.size) % 8
