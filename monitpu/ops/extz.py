@@ -154,12 +154,23 @@ def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
         idx = np.flatnonzero(assigned == t)
         if idx.size == 0:
             continue
-        pad = (-idx.size) % 8
-        take = lambda k: jnp.asarray(np.concatenate(
-            [jobs[k][idx], np.zeros(pad, jobs[k].dtype)])) if pad else \
-            jnp.asarray(jobs[k][idx])
-        args = {k: take(k) for k in ("qrow", "qoff", "qrev", "qlen",
-                                     "tpos", "trev", "tlen")}
+        # pad J to power-of-two buckets: the kernel specializes on J,
+        # and job counts vary per batch — unbucketed J would recompile
+        # every batch. Pad jobs are valid 1x1 DPs whose results are
+        # dropped.
+        Jp = max(256, 1 << int(np.ceil(np.log2(idx.size))))
+        pad = Jp - idx.size
+
+        def take(k, fill=0):
+            a = jobs[k][idx]
+            if pad:
+                a = np.concatenate(
+                    [a, np.full(pad, fill, jobs[k].dtype)])
+            return jnp.asarray(a)
+        args = {k: take(k) for k in ("qrow", "qoff", "qrev",
+                                     "tpos", "trev")}
+        args["qlen"] = take("qlen", 1)
+        args["tlen"] = take("tlen", 1)
         mqe, mqt, cor = extz_score_batch(
             text, lanes, args["qrow"], args["qoff"],
             args["qrev"].astype(bool), args["qlen"], args["tpos"],
