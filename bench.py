@@ -167,17 +167,6 @@ def sample_pairs(idx, lift, n_pairs, rng, insert_lo=250, insert_hi=400):
     return b1, b2, truth
 
 
-def _acc_se(records, truth):
-    ok = tot = 0
-    for r, off in zip(records, truth):
-        if r.flag & 4 or r.rname == "*":
-            continue
-        tot += 1
-        if r.rname == "ref" and abs((r.pos - 1) - off) <= ACC_TOL:
-            ok += 1
-    return ok / max(tot, 1)
-
-
 def bench_pe(idx, lift, rng, n_pairs, batch, tables_cache=None):
     """Paired-end throughput (the reference's headline mode,
     /root/reference/README.md:116-150) + truth accuracy."""
@@ -281,53 +270,67 @@ def main():
 
     # warmup / compile
     t0 = time.time()
-    aligner.align_batch(reads[:BATCH])
+    aligner.complete_batch_sam(aligner.submit_batch(reads[:BATCH]))
     log(f"warmup+compile: {time.time()-t0:.1f}s")
 
     # ---- measured CPU baseline: same data through the CPU engine ----
-    from monitpu.align.cpu import CpuAligner
+    # (same fast SAM path; best of 3 reps — the 2-core box is noisy)
     import multiprocessing
     ncpu = multiprocessing.cpu_count()
-    cpu = CpuAligner(idx, AlignConfig(postseed_threads=ncpu), liftidx=lift)
-    cpu.align_batch(reads[:256])          # warm the code paths
-    t0 = time.time()
-    crecs = cpu.align_batch(reads[:4096])
-    cpu_dt = time.time() - t0
-    cpu_rps = len(crecs) / cpu_dt
-    log(f"CPU baseline ({ncpu} cores): {len(crecs)} reads in "
-        f"{cpu_dt:.2f}s -> {cpu_rps:.0f} reads/s")
+    cpu = Aligner(idx, AlignConfig(engine="cpu", postseed_threads=ncpu),
+                  liftidx=lift)
+    cpu.complete_batch_sam(cpu.submit_batch(reads[:256]))   # warm
+    cpu_rps = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        cpu.complete_batch_sam(cpu.submit_batch(reads[:4096]))
+        cpu_rps = max(cpu_rps, 4096 / (time.time() - t0))
+    log(f"CPU baseline ({ncpu} cores, best of 3): {cpu_rps:.0f} reads/s")
+
+    truth_arr = np.asarray(truth, np.int64)
+    ref_id = list(idx.seq_names).index("ref")
+
+    def acc_batch(o, off, B):
+        t = truth_arr[off:off + B]
+        mapped = (o["flag"] & 4) == 0
+        ok = mapped & (o["rname"] == ref_id) & \
+            (np.abs((o["pos"] - 1) - t) <= ACC_TOL)
+        return int(ok.sum()), int(mapped.sum())
 
     t0 = time.time()
-    n_done = 0
-    aligned = 0
-    t_submit = t_complete = 0.0
-    all_records, rec_offs = [], []
-    pending = None      # double-buffer: device computes k+1 during host k
+    n_done = aligned = acc_ok = acc_tot = 0
+    t_begin = t_submit = t_finish = 0.0
+    sam_bytes = 0
+    # 3-phase pipeline: begin (pull + plan + extz dispatch) -> submit
+    # next (seed stage queues AFTER the short extz kernels on the FIFO
+    # device queue) -> finish (resolve + SAM)
+    pending = None
     with trace_cm:
-        for off in range(BATCH, N_READS, BATCH):
-            chunk = reads[off:off + BATCH]
-            if len(chunk) < BATCH:
-                break
-            ts = time.time()
-            handle = aligner.submit_batch(chunk)
-            t_submit += time.time() - ts
+        for off in list(range(BATCH, N_READS, BATCH)) + [None]:
+            chunk = reads[off:off + BATCH] if off is not None else []
+            p = None
             if pending is not None:
                 ts = time.time()
-                recs = aligner.complete_batch(pending[0])
-                t_complete += time.time() - ts
-                n_done += len(recs)
-                aligned += sum(not (r.flag & 4) for r in recs)
-                all_records.append(recs)
-                rec_offs.append(pending[1])
-            pending = (handle, off)
-        if pending is not None:
-            ts = time.time()
-            recs = aligner.complete_batch(pending[0])
-            t_complete += time.time() - ts
-            n_done += len(recs)
-            aligned += sum(not (r.flag & 4) for r in recs)
-            all_records.append(recs)
-            rec_offs.append(pending[1])
+                p = aligner.begin_complete_sam(pending[0])
+                t_begin += time.time() - ts
+            if len(chunk) == BATCH:
+                ts = time.time()
+                handle = aligner.submit_batch(chunk)
+                t_submit += time.time() - ts
+            else:
+                handle = None
+            if p is not None:
+                ts = time.time()
+                sam, o = aligner.finish_complete_sam(p)
+                t_finish += time.time() - ts
+                B = len(o["flag"])
+                n_done += B
+                aligned += int(((o["flag"] & 4) == 0).sum())
+                ok, tot = acc_batch(o, pending[1], B)
+                acc_ok += ok
+                acc_tot += tot
+                sam_bytes += len(sam)
+            pending = (handle, off) if handle is not None else None
     dt = time.time() - t0
     if trace_dir:
         log(f"profiler trace written to {trace_dir}")
@@ -344,15 +347,10 @@ def main():
     except Exception:
         pass
     rps = n_done / dt
-
-    # truth accuracy over the measured reads
-    acc_recs, acc_truth = [], []
-    for recs, off in zip(all_records, rec_offs):
-        acc_recs.extend(recs)
-        acc_truth.extend(truth[off:off + len(recs)])
-    se_acc = _acc_se(acc_recs, acc_truth)
+    se_acc = acc_ok / max(acc_tot, 1)
     log(f"{n_done} reads in {dt:.2f}s -> {rps:.0f} reads/s "
-        f"({aligned}/{n_done} aligned, acc={se_acc:.4f})")
+        f"({aligned}/{n_done} aligned, acc={se_acc:.4f}, "
+        f"{sam_bytes/1e6:.1f} MB SAM)")
 
     # ---- per-stage breakdown (BASELINE.md documents these) ----
     # device seed stage alone, synchronous, on the first chunk
@@ -367,11 +365,12 @@ def main():
     _ = np.asarray(h["wire"])
     d2h_ms = (time.time() - tx) * 1e3
     tps = time.time()
-    aligner._complete_native(h)     # re-pulls packed + runs postseed
+    aligner.complete_batch_sam(h)   # re-pulls packed + postseed + SAM
     post_ms = (time.time() - tps) * 1e3
     breakdown = {
+        "begin_s_total": round(t_begin, 2),
         "submit_s_total": round(t_submit, 2),
-        "complete_s_total": round(t_complete, 2),
+        "finish_s_total": round(t_finish, 2),
         "device_seed_ms_per_batch": round(dev_ms, 1),
         "d2h_packed_ms_per_batch": round(d2h_ms, 1),
         "host_postseed_ms_per_batch": round(post_ms - d2h_ms, 1),

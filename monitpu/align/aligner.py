@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
+from ..index.alphabet import (encode_seq, revcomp_codes, decode_seq,
+                              encode_batch)
 from ..index.schema import MoniIndex
 from ..ops.ms import extract_windows, find_mems_batch, prepare_tables
 from ..ops.occs import populate_seeds_batch
@@ -257,21 +258,10 @@ class Aligner:
         cfg = self.cfg
         B = len(reads)
         M = cfg.read_pad
-        t_enc = phase_timer("encode")
-        t_enc.__enter__()
-        fwd = np.zeros((B, M), np.int32)
-        rc = np.zeros((B, M), np.int32)
-        lens = np.zeros(B, np.int32)
-        fcodes, rcodes = [], []
-        for b, (_, seq, _) in enumerate(reads):
-            codes = encode_seq(seq[:M])
-            r = revcomp_codes(codes)
-            fwd[b, :len(codes)] = codes
-            rc[b, :len(codes)] = r
-            lens[b] = len(codes)
-            fcodes.append(codes)
-            rcodes.append(r)
-        t_enc.__exit__(None, None, None)
+        with phase_timer("encode"):
+            fwd, rc, lens = encode_batch([r[1] for r in reads], M)
+            fcodes = [fwd[b, :lens[b]] for b in range(B)]
+            rcodes = [rc[b, :lens[b]] for b in range(B)]
 
         if cfg.engine == "cpu":
             from .cpu import cpu_seeds
@@ -530,16 +520,22 @@ class Aligner:
         lanes still device-resident. {} -> host extz."""
         if not (self.cfg.device_extz and "lanes" in h):
             return {}
-        from ..ops.extz import run_extz_jobs, job_caps
+        from ..ops.extz import (dispatch_extz_jobs, collect_extz_jobs,
+                                job_caps)
         cfg = self.cfg
         text, lanes = self.tables["text"], h["lanes"]
 
-        def runner(jobs):
-            with phase_timer("device extz"):
-                return run_extz_jobs(text, lanes, jobs, cfg.read_pad,
-                                     cfg.ext_len, cfg.sw)
+        def dispatch(jobs):
+            with phase_timer("device extz dispatch"):
+                return dispatch_extz_jobs(text, lanes, jobs, cfg.read_pad,
+                                          cfg.ext_len, cfg.sw)
+
+        def collect(fut):
+            with phase_timer("device extz collect"):
+                return collect_extz_jobs(fut)
         q_cap, t_cap = job_caps(cfg.read_pad, cfg.ext_len)
-        return dict(extz_runner=runner, q_cap=q_cap, t_cap=t_cap)
+        return dict(extz_runner=(dispatch, collect), q_cap=q_cap,
+                    t_cap=t_cap)
 
     def _pull_wire(self, h, timer="device wait"):
         """One-transfer pull of the packed-seed wire vector + host
@@ -600,6 +596,55 @@ class Aligner:
         self.stats["aligned"] += sum(
             1 for r in records if not (r.flag & SAM_UNMAPPED))
         return records
+
+    def begin_complete_sam(self, h):
+        """First half of the fast completion: pull seeds, run the
+        native PLAN pass, dispatch the extz score kernels (async).
+
+        Submit the NEXT batch between begin and finish: the device
+        queue is FIFO, so the short extz kernels must be enqueued
+        before the next seed stage or they wait behind it."""
+        from .postseed import postseed_se_begin
+        if not ("seeds" in h or "packed_host" in h):
+            raise ValueError("complete_batch_sam requires the native path")
+        h = self._seeds_exact_retry(h)
+        if "packed_host" in h:
+            packed = h["packed_host"]
+        elif h.get("sharded"):
+            packed = self._merge_sharded_pack(h)
+        else:
+            packed = self._pull_wire(h)
+        runner_kw = self._extz_runner_kwargs(h) if "packed_host" not in h \
+            else {}
+        with phase_timer("native plan+dispatch"):
+            st = postseed_se_begin(
+                self.index, packed, h["fwd"], h["rc"], h["lens"],
+                self.postseed_config(), liftidx=self.liftidx, **runner_kw)
+        return {"st": st, "h": h}
+
+    def finish_complete_sam(self, s):
+        """Second half: resolve with device scores, format SAM natively.
+
+        Returns (sam_bytes, out_arrays) without building per-read
+        Python records — the hot-path CLI/bench completion (the
+        reference formats SAM in C++ too, sam.hpp:144-188).
+        out_arrays["flag"/"rname"/"pos"/...] carry the per-read fields
+        for stats/accuracy checks."""
+        from .postseed import postseed_se_sam_finish
+        h = s["h"]
+        with phase_timer("native resolve+sam"):
+            sam, o = postseed_se_sam_finish(
+                s["st"], self.index, h["reads"], h["rc"], h["lens"],
+                self.postseed_config())
+        self.last_chains_skipped = [int(x) for x in o["chains_skipped"]]
+        flags = o["flag"]
+        self.stats["processed"] += len(flags)
+        self.stats["aligned"] += int((flags & SAM_UNMAPPED == 0).sum())
+        return sam, o
+
+    def complete_batch_sam(self, h):
+        """begin + finish in one call (no pipelining)."""
+        return self.finish_complete_sam(self.begin_complete_sam(h))
 
     def complete_batch(self, h):
         """Transfer device results, select, finalize, assemble SAM."""

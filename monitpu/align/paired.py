@@ -213,19 +213,11 @@ class PairedAligner:
 
     # ------------------------------------------------------------------
     def _encode(self, batch, M):
+        from ..index.alphabet import encode_batch
         B = len(batch)
-        fwd = np.zeros((B, M), np.int32)
-        rc = np.zeros((B, M), np.int32)
-        lens = np.zeros(B, np.int32)
-        fc, rcc = [], []
-        for b, (_, seq, _) in enumerate(batch):
-            codes = encode_seq(seq[:M])
-            r = revcomp_codes(codes)
-            fwd[b, :len(codes)] = codes
-            rc[b, :len(codes)] = r
-            lens[b] = len(codes)
-            fc.append(codes)
-            rcc.append(r)
+        fwd, rc, lens = encode_batch([r[1] for r in batch], M)
+        fc = [fwd[b, :lens[b]] for b in range(B)]
+        rcc = [rc[b, :lens[b]] for b in range(B)]
         return fwd, rc, lens, fc, rcc
 
     # ------------------------------------------------------------------

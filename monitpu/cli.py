@@ -252,12 +252,46 @@ def cmd_align(args):
         log(f"done: {paligner.stats}")
     else:
         reads_file = args.mate1 or args.pattern
-        for batch in range_limit(read_fastq_batches(reads_file,
-                                                    args.batch_size)):
+        use_fast = (not report and not csv_fd
+                    and getattr(aligner.cfg, "postseed", "") == "native")
+        # 3-phase pipeline (fast path): begin completion of batch k
+        # (pull + plan + extz dispatch), submit batch k+1 (its seed
+        # stage queues AFTER the short extz kernels), finish batch k
+        # (resolve + native SAM bytes) — the TPU-native analog of the
+        # reference's double-buffered reader threads
+        # (align_reads_dispatcher.hpp:118-198).
+        pending = None   # (handle, batch_index, n_real_reads)
+        batches = range_limit(read_fastq_batches(reads_file,
+                                                 args.batch_size))
+
+        def finish_pending(p, pbi, nreal):
+            nonlocal n
+            sam, _ = aligner.finish_complete_sam(p)
+            text = sam.decode()
+            if nreal < text.count("\n"):
+                # ragged final batch: drop the trailing __pad__ lines
+                text = "".join(text.splitlines(keepends=True)[:nreal])
+            out.write(text)
+            out.flush()
+            checkpoint(pbi)
+            n += nreal
+            log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
+
+        for batch in batches:
             bi += 1
             if bi <= skip_batches:
                 continue
+            nreal = len(batch)
             batch = pad_batch(batch)
+            if use_fast:
+                p = None
+                if pending is not None:
+                    p = aligner.begin_complete_sam(pending[0])
+                handle = aligner.submit_batch(batch)
+                if p is not None:
+                    finish_pending(p, pending[1], pending[2])
+                pending = (handle, bi, nreal)
+                continue
             recs = (aligner.report_mems_batch(batch) if report
                     else aligner.align_batch(batch))
             for rec in recs:
@@ -272,6 +306,9 @@ def cmd_align(args):
             checkpoint(bi)
             n += len(batch)
             log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
+        if pending is not None:
+            finish_pending(aligner.begin_complete_sam(pending[0]),
+                           pending[1], pending[2])
         log(f"done: {aligner.stats}")
     if args.output:
         out.close()

@@ -45,3 +45,29 @@ def decode_seq(codes) -> str:
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return _COMP[codes][::-1].copy()
+
+
+def encode_batch(seqs, M, dtype=np.int32):
+    """Vectorized batch encode: list of str/bytes -> (fwd [B, M],
+    rc [B, M], lens int32[B]), fwd/rc zero-padded, rc = per-row
+    reverse complement. One C-speed join + one table lookup replaces
+    the per-read Python encode loop (was ~10 us/read on the submit
+    path)."""
+    B = len(seqs)
+    clipped = [s[:M] for s in seqs]
+    lens = np.fromiter((len(s) for s in clipped), np.int32, B)
+    blob = "\0".join(clipped).encode() if clipped and isinstance(
+        clipped[0], str) else b"\0".join(clipped)
+    flat = _ENC[np.frombuffer(blob, np.uint8)] if B else np.zeros(0, np.int8)
+    offs = np.zeros(B, np.int64)
+    if B > 1:
+        offs[1:] = np.cumsum(lens[:-1].astype(np.int64) + 1)
+    cols = np.arange(M)
+    valid = cols[None, :] < lens[:, None]
+    idx = offs[:, None] + cols[None, :]
+    fwd = np.where(valid, flat[np.minimum(idx, max(flat.size - 1, 0))],
+                   0).astype(dtype)
+    ridx = np.clip(lens[:, None] - 1 - cols[None, :], 0, M - 1)
+    rc = np.where(valid, _COMP[np.take_along_axis(fwd, ridx, axis=1)],
+                  0).astype(dtype)
+    return fwd, rc, lens

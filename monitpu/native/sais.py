@@ -15,7 +15,7 @@ import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
 _SRCS = [_HERE / "sais.cpp", _HERE / "swalign.cpp", _HERE / "ksw2.cpp",
-         _HERE / "runtime.cpp",
+         _HERE / "runtime.cpp", _HERE / "samfmt.cpp",
          _HERE / "cpuseeds.cpp"]
 _HDRS = [_HERE / "extz_core.h"]
 _SO = _HERE / "libmonitpu.so"

@@ -133,23 +133,22 @@ def job_caps(read_pad, ext_len):
     return max(t[0] for t in tiers), max(t[1] for t in tiers)
 
 
-def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
-    """Dispatch a numpy job dict through the tiered device kernels.
-
-    jobs: dict of numpy arrays (qrow, qoff, qrev, qlen, tpos, trev,
-    tlen) of length J (J >= 0); oversized jobs must have been filtered
-    by the broker. Returns (mqe, mqe_t, corner) numpy int32[J]."""
+def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
+    """Dispatch a numpy job dict through the tiered device kernels
+    ASYNCHRONOUSLY: returns a continuation state whose device work is
+    enqueued now (so the caller can enqueue the NEXT batch's seed stage
+    behind it — the device queue is FIFO) and collected later by
+    collect_extz_jobs. All tiers' results ride ONE fused [3, sum(Jp)]
+    device array = one device->host pull (~25 ms/transfer tunnel)."""
     J = jobs["qrow"].shape[0]
-    out_mqe = np.zeros(J, np.int32)
-    out_mqt = np.full(J, -1, np.int32)
-    out_cor = np.zeros(J, np.int32)
     if J == 0:
-        return out_mqe, out_mqt, out_cor
+        return (J, [], None)
     tiers = job_tiers(read_pad, ext_len)
     assigned = np.full(J, len(tiers) - 1, np.int32)
     for t in range(len(tiers) - 2, -1, -1):
         fits = (jobs["qlen"] <= tiers[t][0]) & (jobs["tlen"] <= tiers[t][1])
         assigned = np.where(fits, t, assigned)
+    parts, devs = [], []
     for t, tier in enumerate(tiers):
         idx = np.flatnonzero(assigned == t)
         if idx.size == 0:
@@ -177,8 +176,32 @@ def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
             args["trev"].astype(bool), args["tlen"],
             QMAX=tier[0], TMAX=tier[1],
             sm=sw.smatch, sx=sw.smismatch, go=sw.gapo, ge=sw.gape)
-        res = np.asarray(jnp.stack([mqe, mqt, cor]))
-        out_mqe[idx] = res[0, :idx.size]
-        out_mqt[idx] = res[1, :idx.size]
-        out_cor[idx] = res[2, :idx.size]
+        parts.append((idx, Jp))
+        devs.append(jnp.stack([mqe, mqt, cor]))
+    fused = jnp.concatenate(devs, axis=1) if devs else None
+    return (J, parts, fused)
+
+
+def collect_extz_jobs(state):
+    """Block on and scatter the dispatched results -> numpy
+    (mqe, mqe_t, corner) int32[J]."""
+    J, parts, fused = state
+    out_mqe = np.zeros(J, np.int32)
+    out_mqt = np.full(J, -1, np.int32)
+    out_cor = np.zeros(J, np.int32)
+    if fused is None:
+        return out_mqe, out_mqt, out_cor
+    res = np.asarray(fused)
+    off = 0
+    for idx, Jp in parts:
+        out_mqe[idx] = res[0, off:off + idx.size]
+        out_mqt[idx] = res[1, off:off + idx.size]
+        out_cor[idx] = res[2, off:off + idx.size]
+        off += Jp
     return out_mqe, out_mqt, out_cor
+
+
+def run_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
+    """Synchronous dispatch+collect (tests / simple callers)."""
+    return collect_extz_jobs(
+        dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw))
