@@ -27,8 +27,7 @@ from .postseed import postseed_se
 def _configure(lib):
     if getattr(lib, "_cpuseeds_configured", False):
         return lib
-    lib.monitpu_cpu_seeds.restype = ctypes.c_int
-    lib.monitpu_cpu_seeds.argtypes = (
+    argt = (
         [ctypes.c_void_p, ctypes.c_int64]          # text, n
         + [ctypes.c_void_p] * 10 + [ctypes.c_int64] * 2   # tables, r, Rc
         + [ctypes.c_void_p] * 3 + [ctypes.c_int64]        # phi
@@ -39,6 +38,10 @@ def _configure(lib):
         + [ctypes.c_void_p] * 6 + [ctypes.c_int64]        # seed outs, cap
         + [ctypes.c_void_p, ctypes.c_int64]               # occ, cap
         + [ctypes.c_void_p] * 3)                          # n_seeds, n_occ, K
+    lib.monitpu_cpu_seeds.restype = ctypes.c_int
+    lib.monitpu_cpu_seeds.argtypes = argt
+    lib.monitpu_cpu_seeds_w64.restype = ctypes.c_int
+    lib.monitpu_cpu_seeds_w64.argtypes = argt
     lib._cpuseeds_configured = True
     return lib
 
@@ -46,29 +49,35 @@ def _configure(lib):
 def cpu_seeds(index, lanes, lens, min_len=25, max_occs=512, n_threads=2,
               seeds_per_lane=16, occs_per_lane=96):
     """lanes int8[R, M] oriented reads -> packed seed dict (with 'S')
-    compatible with align.postseed. Buffers grow on overflow."""
+    compatible with align.postseed. Buffers grow on overflow. Indexes
+    built beyond 2^31 positions (int64 arrays) route to the 64-bit
+    kernel — the reference's 32/64-bit binary split
+    (pipeline/moni.in:195-204)."""
     lib = _configure(_load())
     lanes = np.ascontiguousarray(lanes, np.int8)
     lens = np.ascontiguousarray(lens, np.int32)
     R, M = lanes.shape
+    wide = index.run_starts.dtype == np.int64
+    idt = np.int64 if wide else np.int32
+    entry = lib.monitpu_cpu_seeds_w64 if wide else lib.monitpu_cpu_seeds
     args_idx = [
         np.ascontiguousarray(index.text, np.int8),
         np.ascontiguousarray(index.F, np.int64),
-        np.ascontiguousarray(index.run_starts, np.int32),
+        np.ascontiguousarray(index.run_starts, idt),
         np.ascontiguousarray(index.run_heads, np.int8),
-        np.ascontiguousarray(index.block_run, np.int32),
-        np.ascontiguousarray(index.clen_at_run, np.int32),
-        np.ascontiguousarray(index.run_crank, np.int32),
-        np.ascontiguousarray(index.thr_cnt_run, np.int32),
-        np.ascontiguousarray(index.thr_pos_run, np.int32),
-        np.ascontiguousarray(index.csamples_start, np.int32),
-        np.ascontiguousarray(index.csamples_last, np.int32),
-        np.ascontiguousarray(index.phi_z, np.int32),
-        np.ascontiguousarray(index.phi_w, np.int32),
-        np.ascontiguousarray(index.phi_wl, np.int32),
-        np.ascontiguousarray(index.phiinv_z, np.int32),
-        np.ascontiguousarray(index.phiinv_w, np.int32),
-        np.ascontiguousarray(index.phiinv_wl, np.int32),
+        np.ascontiguousarray(index.block_run, idt),
+        np.ascontiguousarray(index.clen_at_run, idt),
+        np.ascontiguousarray(index.run_crank, idt),
+        np.ascontiguousarray(index.thr_cnt_run, idt),
+        np.ascontiguousarray(index.thr_pos_run, idt),
+        np.ascontiguousarray(index.csamples_start, idt),
+        np.ascontiguousarray(index.csamples_last, idt),
+        np.ascontiguousarray(index.phi_z, idt),
+        np.ascontiguousarray(index.phi_w, idt),
+        np.ascontiguousarray(index.phi_wl, idt),
+        np.ascontiguousarray(index.phiinv_z, idt),
+        np.ascontiguousarray(index.phiinv_w, idt),
+        np.ascontiguousarray(index.phiinv_wl, idt),
     ]
     (text, F, run_starts, run_heads, block_run, clen, crank, tcnt, tpos,
      cs, cl, pz, pw, pwl, vz, vw, vwl) = args_idx
@@ -81,12 +90,12 @@ def cpu_seeds(index, lanes, lens, min_len=25, max_occs=512, n_threads=2,
         sidx = np.zeros(seed_cap, np.int32)
         scnt = np.zeros(seed_cap, np.int32)
         soff = np.zeros(seed_cap, np.int32)
-        occ = np.zeros(occ_cap, np.int32)
+        occ = np.zeros(occ_cap, np.int64)
         n_seeds = ctypes.c_int64()
         n_occ = ctypes.c_int64()
         K = ctypes.c_int64()
         ptr = lambda a: a.ctypes.data
-        rc = lib.monitpu_cpu_seeds(
+        rc = entry(
             ptr(text), ctypes.c_int64(index.n), ptr(F),
             ptr(run_starts), ptr(run_heads), ptr(block_run), ptr(clen),
             ptr(crank), ptr(tcnt), ptr(tpos), ptr(cs), ptr(cl),

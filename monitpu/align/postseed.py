@@ -336,11 +336,14 @@ def _decode_cigar(words, n) -> str:
 
 
 def _pack_for_native(seeds):
-    if "occ" not in seeds:
-        return pack_seeds_host(seeds)
+    """Marshal packed seeds for the native runtime: int32 fields, occ
+    pool widened to int64 (text positions may exceed 2^31 on pangenome-
+    scale indexes; the native runtime is 64-bit throughout)."""
+    packed = pack_seeds_host(seeds) if "occ" not in seeds else seeds
     return {k: (v if np.isscalar(v) or isinstance(v, (int, np.integer))
-                else np.ascontiguousarray(v, np.int32))
-            for k, v in seeds.items()}
+                else np.ascontiguousarray(
+                    v, np.int64 if k == "occ" else np.int32))
+            for k, v in packed.items()}
 
 
 def _se_out(B, cfg):
@@ -593,12 +596,7 @@ def postseed_pe(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
     Returns (records_m1, records_m2, info dict)."""
     lib = _configure_pe(_configure(_load()))
     B, M = m1f.shape
-    if "occ" not in seeds:
-        packed = pack_seeds_host(seeds)
-    else:
-        packed = {k: (v if np.isscalar(v) or isinstance(v, (int, np.integer))
-                      else np.ascontiguousarray(v, np.int32))
-                  for k, v in seeds.items()}
+    packed = _pack_for_native(seeds)
     S = int(packed["S"])
     K = S // 3
     n_seeds = min(int(np.ravel(packed["n_valid"])[0]),

@@ -101,7 +101,8 @@ def lcp_kasai(t: np.ndarray, sa: np.ndarray) -> np.ndarray:
 # Full index build
 # ----------------------------------------------------------------------
 
-def build_index(seqs, names=None, already_encoded: bool = False) -> MoniIndex:
+def build_index(seqs, names=None, already_encoded: bool = False,
+                force_wide: bool = False) -> MoniIndex:
     """Build a MoniIndex from a list of sequences (bytes/str or code arrays).
 
     Each sequence is terminated with SEP; the final SEP doubles as the
@@ -116,19 +117,26 @@ def build_index(seqs, names=None, already_encoded: bool = False) -> MoniIndex:
         starts.append(starts[-1] + codes.size + 1)
     text = np.concatenate(parts)
     n = text.size
-    assert n < 2**31 - 2, "int32 index limit"
+    # n >= 2^31: int64 tables throughout (SA-IS/Kasai switch too) — the
+    # reference swaps to 64-bit pfp_thresholds binaries at the same
+    # boundary (/root/reference/pipeline/moni.in:195-204). The one hard
+    # ceiling left is the threshold segment-min composite key lcp*n+i.
+    assert n < 3_000_000_000, "threshold composite key needs n^2 < 2^63"
 
     sa = suffix_array(text)
     return build_index_from_sa(text, sa, np.asarray(starts, dtype=np.int64),
-                               list(names))
+                               list(names), force_wide=force_wide)
 
 
-def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
+def build_index_from_sa(text, sa, seq_starts, seq_names,
+                        force_wide=False) -> MoniIndex:
     n = text.size
-    sa = sa.astype(np.int32)
+    # force_wide exercises the 64-bit table path on small inputs (tests)
+    idt = np.int64 if (force_wide or n > 2**31 - 2) else np.int32
+    sa = sa.astype(idt)
     sa64 = sa.astype(np.int64)
     bwt = bwt_from_sa(text, sa)
-    lcp = lcp_kasai(text, sa).astype(np.int32)
+    lcp = lcp_kasai(text, sa).astype(idt)
     isa = np.empty(n, dtype=np.int64)
     isa[sa64] = np.arange(n)
 
@@ -141,7 +149,7 @@ def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
     boundary = np.empty(n, dtype=bool)
     boundary[0] = True
     boundary[1:] = bwt[1:] != bwt[:-1]
-    run_starts = np.flatnonzero(boundary).astype(np.int32)
+    run_starts = np.flatnonzero(boundary).astype(idt)
     r = run_starts.size
     run_heads = bwt[run_starts].astype(np.int8)
     run_ends = np.empty(r, dtype=np.int64)
@@ -149,15 +157,15 @@ def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
     run_ends[-1] = n - 1
     run_lens = run_ends - run_starts + 1
 
-    samples_start = sa[run_starts].astype(np.int32)
-    samples_last = sa[run_ends].astype(np.int32)
+    samples_start = sa[run_starts].astype(idt)
+    samples_last = sa[run_ends].astype(idt)
 
     # block-sampled run_of_position
     nblocks = (n >> BLOCK_BITS) + 1
     block_pos = np.arange(nblocks, dtype=np.int64) << BLOCK_BITS
     block_run = (np.searchsorted(run_starts, block_pos, side="right") - 1
-                 ).astype(np.int32)
-    block_run = np.concatenate([block_run, np.array([r - 1], dtype=np.int32)])
+                 ).astype(idt)
+    block_run = np.concatenate([block_run, np.array([r - 1], dtype=idt)])
 
     # per-(run, char) tables
     heads64 = run_heads.astype(np.int64)
@@ -169,8 +177,8 @@ def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
     # per-char c-run id lists and fused sample tables
     nruns_c = onehot.sum(axis=0).astype(np.int32)
     rc_max = max(int(nruns_c.max()), 1)
-    csamples_start = np.zeros((SIGMA, rc_max), dtype=np.int32)
-    csamples_last = np.zeros((SIGMA, rc_max), dtype=np.int32)
+    csamples_start = np.zeros((SIGMA, rc_max), dtype=idt)
+    csamples_last = np.zeros((SIGMA, rc_max), dtype=idt)
     cruns = []  # per-char run ids, used for thresholds below
     for c in range(SIGMA):
         ids = np.flatnonzero(heads64 == c)
@@ -183,8 +191,9 @@ def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
     lcp64 = lcp.astype(np.int64)
     comp = lcp64 * np.int64(n) + np.arange(n, dtype=np.int64)
     comp_ext = np.concatenate([comp, [np.iinfo(np.int64).max]])
-    thr_cnt_run = np.zeros((r, SIGMA), dtype=np.int32)
-    thr_pos_run = np.full((r, SIGMA), PAD_POS, dtype=np.int32)
+    thr_cnt_run = np.zeros((r, SIGMA), dtype=idt)
+    # "no threshold" sentinel: larger than any position in this dtype
+    thr_pos_run = np.full((r, SIGMA), np.iinfo(idt).max - 1, dtype=idt)
     rs64 = run_starts.astype(np.int64)
     for c in range(SIGMA):
         ids = cruns[c]
@@ -199,20 +208,20 @@ def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
         # the (unique) c-threshold inside run j, if any: thresholds of char c
         # are separated by a c-run, so each run owns at most one.
         owner = np.searchsorted(rs64, pos_c, side="right") - 1
-        thr_pos_run[owner, c] = pos_c.astype(np.int32)
+        thr_pos_run[owner, c] = pos_c.astype(idt)
 
     # Phi / Phi^-1 / PLCP successor anchors
     phi_z, phi_w, phi_wl = _phi_anchors(sa64, isa, lcp64, run_starts, n,
-                                        from_starts=True)
+                                        from_starts=True, idt=idt)
     phiinv_z, phiinv_w, phiinv_wl = _phi_anchors(sa64, isa, lcp64, run_ends, n,
-                                                 from_starts=False)
+                                                 from_starts=False, idt=idt)
 
     return MoniIndex(
         text=text, seq_starts=seq_starts, seq_names=seq_names,
         F=F, run_starts=run_starts, run_heads=run_heads,
         samples_start=samples_start, samples_last=samples_last,
         block_run=block_run,
-        clen_at_run=clen.astype(np.int32), run_crank=run_crank.astype(np.int32),
+        clen_at_run=clen.astype(idt), run_crank=run_crank.astype(idt),
         thr_cnt_run=thr_cnt_run, thr_pos_run=thr_pos_run,
         csamples_start=csamples_start, csamples_last=csamples_last,
         nruns_c=nruns_c,
@@ -222,7 +231,7 @@ def build_index_from_sa(text, sa, seq_starts, seq_names) -> MoniIndex:
     )
 
 
-def _phi_anchors(sa64, isa, lcp64, rows, n, from_starts):
+def _phi_anchors(sa64, isa, lcp64, rows, n, from_starts, idt=np.int32):
     """Anchor arrays for Phi (run starts) or Phi^-1 (run ends).
 
     Anchors live at text positions Z = {(SA[row]-1) mod n}. At each anchor z:
@@ -259,4 +268,4 @@ def _phi_anchors(sa64, isa, lcp64, rows, n, from_starts):
         nxt = np.where(i < n - 1, i + 1, n - 1)
         w = sa64[nxt]
         wl = np.where(i < n - 1, lcp64[np.minimum(i + 1, n - 1)], 0)
-    return (z.astype(np.int32), w.astype(np.int32), wl.astype(np.int32))
+    return (z.astype(idt), w.astype(idt), wl.astype(idt))

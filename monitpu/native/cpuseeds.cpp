@@ -30,35 +30,40 @@ namespace {
 
 constexpr int SIGMA = 6;
 
+// I = index position int type: int32 normally, int64 beyond 2^31
+// (the reference's 32/64-bit binary split, pipeline/moni.in:195-204)
+template <typename I>
 struct CpuIndex {
   const int8_t* text;
   int64_t n;
   const int64_t* F;          // [SIGMA + 1]
-  const int32_t* run_starts; // [r]
+  const I* run_starts;       // [r]
   const int8_t* run_heads;
-  const int32_t* block_run;  // [ceil(n/64) + 1]
-  const int32_t* clen_at_run;   // [r, SIGMA]
-  const int32_t* run_crank;     // [r, SIGMA]
-  const int32_t* thr_cnt_run;   // [r, SIGMA]
-  const int32_t* thr_pos_run;   // [r, SIGMA]
-  const int32_t* csamples_start;  // [SIGMA, Rc]
-  const int32_t* csamples_last;
+  const I* block_run;        // [ceil(n/64) + 1]
+  const I* clen_at_run;      // [r, SIGMA]
+  const I* run_crank;        // [r, SIGMA]
+  const I* thr_cnt_run;      // [r, SIGMA]
+  const I* thr_pos_run;      // [r, SIGMA]
+  const I* csamples_start;   // [SIGMA, Rc]
+  const I* csamples_last;
   int64_t r, Rc;
-  const int32_t *phi_z, *phi_w, *phi_wl;
+  const I *phi_z, *phi_w, *phi_wl;
   int64_t n_phi;
-  const int32_t *piv_z, *piv_w, *piv_wl;
+  const I *piv_z, *piv_w, *piv_wl;
   int64_t n_piv;
   int64_t sa0, sa_last;
 };
 
-inline int64_t run_of(const CpuIndex& ix, int64_t pos) {
+template <typename I>
+inline int64_t run_of(const CpuIndex<I>& ix, int64_t pos) {
   int64_t j = ix.block_run[pos >> 6];
   while (j + 1 < ix.r && ix.run_starts[j + 1] <= pos) ++j;
   return j;
 }
 
 // MS pointers (refimpl.ms_pointers; moni.hpp:567-624 semantics)
-void ms_pointers(const CpuIndex& ix, const int8_t* pat, int32_t m,
+template <typename I>
+void ms_pointers(const CpuIndex<I>& ix, const int8_t* pat, int32_t m,
                  int64_t* ptr) {
   int64_t pos = ix.n - 1;
   int64_t sample = ix.sa_last;
@@ -91,9 +96,10 @@ void ms_pointers(const CpuIndex& ix, const int8_t* pat, int32_t m,
   }
 }
 
-inline void phi_q(const int32_t* z, const int32_t* w, const int32_t* wl,
+template <typename I>
+inline void phi_q(const I* z, const I* w, const I* wl,
                   int64_t nz, int64_t q, int64_t* out, int64_t* lcp) {
-  int64_t k = std::lower_bound(z, z + nz, int32_t(q)) - z;
+  int64_t k = std::lower_bound(z, z + nz, I(q)) - z;
   int64_t zk = z[k];
   *out = int64_t(w[k]) - (zk - q);
   *lcp = int64_t(wl[k]) + (zk - q);
@@ -101,23 +107,24 @@ inline void phi_q(const int32_t* z, const int32_t* w, const int32_t* wl,
 
 struct SeedRec {
   int32_t slot, len, idx, cnt;
-  std::vector<int32_t> occs;
+  std::vector<int64_t> occs;
 };
 
 // find_MEM_above/below (seed_finder.hpp:169-242): walk while LCP >=
 // len, capped at max_occs total per seed. Returns far endpoints.
-void enumerate_occs(const CpuIndex& ix, int64_t up_start,
+template <typename I>
+void enumerate_occs(const CpuIndex<I>& ix, int64_t up_start,
                     int64_t down_start, int32_t len, bool include_start,
-                    int32_t max_occs, std::vector<int32_t>& occs,
+                    int32_t max_occs, std::vector<int64_t>& occs,
                     int64_t* far_up, int64_t* far_dn) {
   occs.clear();
-  if (include_start) occs.push_back(int32_t(up_start));
+  if (include_start) occs.push_back(up_start);
   int64_t cur = up_start;
   while (cur != ix.sa0 && (int32_t)occs.size() < max_occs) {
     int64_t prev, lcp;
     phi_q(ix.phi_z, ix.phi_w, ix.phi_wl, ix.n_phi, cur, &prev, &lcp);
     if (lcp < len) break;
-    occs.push_back(int32_t(prev));
+    occs.push_back(prev);
     cur = prev;
   }
   *far_up = cur;
@@ -126,7 +133,7 @@ void enumerate_occs(const CpuIndex& ix, int64_t up_start,
     int64_t nxt, lcp;
     phi_q(ix.piv_z, ix.piv_w, ix.piv_wl, ix.n_piv, cur, &nxt, &lcp);
     if (lcp < len) break;
-    occs.push_back(int32_t(nxt));
+    occs.push_back(nxt);
     cur = nxt;
   }
   *far_dn = cur;
@@ -135,7 +142,8 @@ void enumerate_occs(const CpuIndex& ix, int64_t up_start,
 // One lane: MS -> MEMs -> occurrence walks + halving. Fills per-lane
 // seed records with lane-local slots parents [0,np) / left [np,2np) /
 // right [2np,3np); returns np (the lane's parent count).
-int32_t lane_seeds(const CpuIndex& ix, const int8_t* pat, int32_t m,
+template <typename I>
+int32_t lane_seeds(const CpuIndex<I>& ix, const int8_t* pat, int32_t m,
                    int32_t min_len, int32_t max_occs,
                    std::vector<SeedRec>& out, std::vector<int64_t>& ptr) {
   out.clear();
@@ -167,7 +175,7 @@ int32_t lane_seeds(const CpuIndex& ix, const int8_t* pat, int32_t m,
   }
   // parent walks (slot = parent index)
   int32_t K = int32_t(parents.size());
-  std::vector<int32_t> occs;
+  std::vector<int64_t> occs;
   for (int32_t p = 0; p < K; ++p) {
     Par& pa = parents[p];
     enumerate_occs(ix, pa.pos, pa.pos, pa.len, true, max_occs, occs,
@@ -199,38 +207,15 @@ int32_t lane_seeds(const CpuIndex& ix, const int8_t* pat, int32_t m,
   return K;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Lanes int8[R, M] (each row one oriented read), lens int32[R].
-// Emits packed seeds (row, slot, len, idx, cnt, off, occ) with a
-// UNIFORM parent capacity K across the batch (returned via *out_K;
-// slots renumbered so halves sit at [K,2K)/[2K,3K)).
-int monitpu_cpu_seeds(
-    const int8_t* text, int64_t n, const int64_t* F,
-    const int32_t* run_starts, const int8_t* run_heads,
-    const int32_t* block_run, const int32_t* clen_at_run,
-    const int32_t* run_crank, const int32_t* thr_cnt_run,
-    const int32_t* thr_pos_run, const int32_t* csamples_start,
-    const int32_t* csamples_last, int64_t r, int64_t Rc,
-    const int32_t* phi_z, const int32_t* phi_w, const int32_t* phi_wl,
-    int64_t n_phi, const int32_t* piv_z, const int32_t* piv_w,
-    const int32_t* piv_wl, int64_t n_piv, int64_t sa0, int64_t sa_last,
+template <typename I>
+int cpu_seeds_core(
+    const CpuIndex<I>& ix,
     const int8_t* lanes, const int32_t* lens, int64_t R, int64_t M,
     int32_t min_len, int32_t max_occs, int32_t n_threads,
     int32_t* o_row, int32_t* o_slot, int32_t* o_len, int32_t* o_idx,
-    int32_t* o_cnt, int32_t* o_off, int64_t seed_cap, int32_t* o_occ,
+    int32_t* o_cnt, int32_t* o_off, int64_t seed_cap, int64_t* o_occ,
     int64_t occ_cap, int64_t* out_n_seeds, int64_t* out_n_occ,
     int64_t* out_K) {
-  CpuIndex ix{text,       n,          F,
-              run_starts, run_heads,  block_run,
-              clen_at_run, run_crank, thr_cnt_run,
-              thr_pos_run, csamples_start, csamples_last,
-              r,          Rc,         phi_z,
-              phi_w,      phi_wl,     n_phi,
-              piv_z,      piv_w,      piv_wl,
-              n_piv,      sa0,        sa_last};
   std::vector<std::vector<SeedRec>> per_row(R);
   std::vector<int32_t> row_np(R, 0);
   if (n_threads < 1) n_threads = 1;
@@ -278,7 +263,7 @@ int monitpu_cpu_seeds(
       o_idx[ns] = s.idx;
       o_cnt[ns] = s.cnt;
       o_off[ns] = int32_t(no);
-      memcpy(o_occ + no, s.occs.data(), s.cnt * sizeof(int32_t));
+      memcpy(o_occ + no, s.occs.data(), s.cnt * sizeof(int64_t));
       no += s.cnt;
       ++ns;
     }
@@ -287,6 +272,76 @@ int monitpu_cpu_seeds(
   *out_n_occ = no;
   *out_K = K;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Lanes int8[R, M] (each row one oriented read), lens int32[R].
+// Emits packed seeds (row, slot, len, idx, cnt, off, occ) with a
+// UNIFORM parent capacity K across the batch (returned via *out_K;
+// slots renumbered so halves sit at [K,2K)/[2K,3K)). The occ pool is
+// int64 (native runtime convention); index arrays are int32 here and
+// int64 in the _w64 variant.
+int monitpu_cpu_seeds(
+    const int8_t* text, int64_t n, const int64_t* F,
+    const int32_t* run_starts, const int8_t* run_heads,
+    const int32_t* block_run, const int32_t* clen_at_run,
+    const int32_t* run_crank, const int32_t* thr_cnt_run,
+    const int32_t* thr_pos_run, const int32_t* csamples_start,
+    const int32_t* csamples_last, int64_t r, int64_t Rc,
+    const int32_t* phi_z, const int32_t* phi_w, const int32_t* phi_wl,
+    int64_t n_phi, const int32_t* piv_z, const int32_t* piv_w,
+    const int32_t* piv_wl, int64_t n_piv, int64_t sa0, int64_t sa_last,
+    const int8_t* lanes, const int32_t* lens, int64_t R, int64_t M,
+    int32_t min_len, int32_t max_occs, int32_t n_threads,
+    int32_t* o_row, int32_t* o_slot, int32_t* o_len, int32_t* o_idx,
+    int32_t* o_cnt, int32_t* o_off, int64_t seed_cap, int64_t* o_occ,
+    int64_t occ_cap, int64_t* out_n_seeds, int64_t* out_n_occ,
+    int64_t* out_K) {
+  CpuIndex<int32_t> ix{text,        n,          F,
+                       run_starts,  run_heads,  block_run,
+                       clen_at_run, run_crank,  thr_cnt_run,
+                       thr_pos_run, csamples_start, csamples_last,
+                       r,           Rc,         phi_z,
+                       phi_w,       phi_wl,     n_phi,
+                       piv_z,       piv_w,      piv_wl,
+                       n_piv,       sa0,        sa_last};
+  return cpu_seeds_core<int32_t>(
+      ix, lanes, lens, R, M, min_len, max_occs, n_threads, o_row, o_slot,
+      o_len, o_idx, o_cnt, o_off, seed_cap, o_occ, occ_cap, out_n_seeds,
+      out_n_occ, out_K);
+}
+
+int monitpu_cpu_seeds_w64(
+    const int8_t* text, int64_t n, const int64_t* F,
+    const int64_t* run_starts, const int8_t* run_heads,
+    const int64_t* block_run, const int64_t* clen_at_run,
+    const int64_t* run_crank, const int64_t* thr_cnt_run,
+    const int64_t* thr_pos_run, const int64_t* csamples_start,
+    const int64_t* csamples_last, int64_t r, int64_t Rc,
+    const int64_t* phi_z, const int64_t* phi_w, const int64_t* phi_wl,
+    int64_t n_phi, const int64_t* piv_z, const int64_t* piv_w,
+    const int64_t* piv_wl, int64_t n_piv, int64_t sa0, int64_t sa_last,
+    const int8_t* lanes, const int32_t* lens, int64_t R, int64_t M,
+    int32_t min_len, int32_t max_occs, int32_t n_threads,
+    int32_t* o_row, int32_t* o_slot, int32_t* o_len, int32_t* o_idx,
+    int32_t* o_cnt, int32_t* o_off, int64_t seed_cap, int64_t* o_occ,
+    int64_t occ_cap, int64_t* out_n_seeds, int64_t* out_n_occ,
+    int64_t* out_K) {
+  CpuIndex<int64_t> ix{text,        n,          F,
+                       run_starts,  run_heads,  block_run,
+                       clen_at_run, run_crank,  thr_cnt_run,
+                       thr_pos_run, csamples_start, csamples_last,
+                       r,           Rc,         phi_z,
+                       phi_w,       phi_wl,     n_phi,
+                       piv_z,       piv_w,      piv_wl,
+                       n_piv,       sa0,        sa_last};
+  return cpu_seeds_core<int64_t>(
+      ix, lanes, lens, R, M, min_len, max_occs, n_threads, o_row, o_slot,
+      o_len, o_idx, o_cnt, o_off, seed_cap, o_occ, occ_cap, out_n_seeds,
+      out_n_occ, out_K);
 }
 
 }  // extern "C"

@@ -854,7 +854,7 @@ struct SeedArrays {
   const int32_t* idx;
   const int32_t* cnt;
   const int32_t* off;
-  const int32_t* occ;   // flat pool
+  const int64_t* occ;   // flat pool (int64: n may exceed 2^31)
   int64_t n_seeds;
   int64_t S, K;         // slots per lane, parent slots (S == 3K)
   std::vector<int64_t> rowstart;  // [n_rows + 1]
@@ -890,7 +890,7 @@ bool extract_seed(const Ctx& c, const SeedArrays& sd, Scratch& s,
   m->rpos = rpos_off + m->idx + m->len - 1;
   m->occs.clear();
   int32_t cnt = sd.cnt[k];
-  const int32_t* o = sd.occ + sd.off[k];
+  const int64_t* o = sd.occ + sd.off[k];
   if (cnt <= 0) return false;
   m->pos = o[0];
   if (p.filter_seeds) {
@@ -1043,8 +1043,10 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
     o.lift_md[b * p.md_cap] = 0;
     o.nalt[b] = 0;
   };
-  o.chains_skipped[b] = 0;
-  o.unmapped_lft[b] = 0;
+  if (mode != MODE_PLAN) {
+    o.chains_skipped[b] = 0;
+    o.unmapped_lft[b] = 0;
+  }
 
   const std::vector<Mem>* memsp;
   const std::vector<Anchor>* anchorsp;
@@ -1127,7 +1129,7 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
         }
       }
       if (skip) {
-        ++o.chains_skipped[b];
+        if (mode != MODE_PLAN) ++o.chains_skipped[b];
         ++i;
         continue;
       }
@@ -1149,7 +1151,7 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
         max_score = fo.score;
         nalt = 0;
       } else if (fo.score == max_score) {
-        if (nalt < p.alt_cap) {
+        if (nalt < p.alt_cap && mode != MODE_PLAN) {
           int32_t sq = seq_of(c, fo.pos);
           o.alt_rname[b * p.alt_cap + nalt] = sq;
           o.alt_pos[b * p.alt_cap + nalt] =
@@ -2159,7 +2161,7 @@ int monitpu_postseed_se(
     const int8_t* rcv, const int32_t* lens, int64_t B, int64_t M,
     const int32_t* s_row, const int32_t* s_slot, const int32_t* s_len,
     const int32_t* s_idx, const int32_t* s_cnt, const int32_t* s_off,
-    const int32_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
+    const int64_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
     const SeParams* prm, int32_t* o_flag, int32_t* o_rname,
     int64_t* o_pos, int32_t* o_as, int32_t* o_zs, int32_t* o_nm,
     int32_t* o_rlen, uint32_t* o_cigar, int32_t* o_ncigar, char* o_md,
@@ -2224,7 +2226,7 @@ int64_t monitpu_postseed_se_plan(
     const int8_t* rcv, const int32_t* lens, int64_t B, int64_t M,
     const int32_t* s_row, const int32_t* s_slot, const int32_t* s_len,
     const int32_t* s_idx, const int32_t* s_cnt, const int32_t* s_off,
-    const int32_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
+    const int64_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
     const SeParams* prm, int32_t q_cap, int32_t t_cap, void** out_handle) {
   Ctx c{text,    n,       seq_starts, nseq,   lift_hs,
         lift_rs, lift_ins, lift_se,    n_lift, prm};
@@ -2236,23 +2238,7 @@ int64_t monitpu_postseed_se_plan(
   h->q_cap = q_cap;
   h->t_cap = t_cap;
   int32_t n_threads = std::max(1, prm->n_threads);
-  // plan-mode writes go to throwaway per-field sinks (resolve rewrites
-  // everything); only chains_skipped / alt bookkeeping is touched in
-  // the selection loop, but set_unmapped may fire for chain-less reads
-  std::vector<int32_t> dflag(B), drname(B), dzs(B), dnm(B), drlen(B),
-      dncig(B), dlnc(B), dlnm(B), dlrl(B), dnalt(B), dskip(B), das(B),
-      dlrn(B), dalt_r(B * prm->alt_cap), dalt_s(B * prm->alt_cap);
-  std::vector<int64_t> dpos(B), dlpos(B), dalt_p(B * prm->alt_cap);
-  std::vector<uint8_t> d8(B, 0);
-  std::vector<char> dmd(B * prm->md_cap, 0), dlmd(B * prm->md_cap, 0);
-  std::vector<uint32_t> dcig(B * prm->cigar_cap, 0),
-      dlcig(B * prm->cigar_cap, 0);
-  SeOut dummy{dflag.data(),  drname.data(), dpos.data(),   das.data(),
-              dzs.data(),    dnm.data(),    drlen.data(),  dcig.data(),
-              dncig.data(),  dmd.data(),    dlrn.data(),   dlpos.data(),
-              dlcig.data(),  dlnc.data(),   dlmd.data(),   dlnm.data(),
-              dlrl.data(),   d8.data(),     dalt_r.data(), dalt_p.data(),
-              dalt_s.data(), dnalt.data(),  dskip.data()};
+  SeOut dummy{};  // never written: all output stores are mode-guarded
   auto work = [&](int64_t lo, int64_t hi) {
     Scratch s;
     s.bk.q_cap = q_cap;
@@ -2369,7 +2355,7 @@ int monitpu_postseed_pe(
     const int32_t* len1, const int32_t* len2, int64_t B, int64_t M,
     const int32_t* s_row, const int32_t* s_slot, const int32_t* s_len,
     const int32_t* s_idx, const int32_t* s_cnt, const int32_t* s_off,
-    const int32_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
+    const int64_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
     const PeParams* prm, int32_t* o_flag, int32_t* o_rname,
     int64_t* o_pos, int32_t* o_as, int32_t* o_zs, int32_t* o_nm,
     int32_t* o_rlen, uint32_t* o_cigar, int32_t* o_ncigar, char* o_md,

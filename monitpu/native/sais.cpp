@@ -153,6 +153,42 @@ int monitpu_sais_u8(const uint8_t* s, int64_t n, int32_t* sa_out) {
   return 0;
 }
 
+// 64-bit variant for texts beyond 2^31 (the reference's pipeline
+// switches to 64-bit pfp_thresholds binaries the same way when the
+// parse crosses 2^31, /root/reference/pipeline/moni.in:195-204).
+int monitpu_sais_u8_64(const uint8_t* s, int64_t n, int64_t* sa_out) {
+  if (n <= 0) return -1;
+  int64_t m = n + 1;
+  std::vector<uint8_t> t(m);
+  for (int64_t i = 0; i < n; i++) t[i] = s[i] + 1;
+  t[n] = 0;
+  std::vector<int64_t> SA(m);
+  sais_core<uint8_t, int64_t>(t.data(), SA.data(), m, (int64_t)257);
+  std::memcpy(sa_out, SA.data() + 1, sizeof(int64_t) * n);
+  return 0;
+}
+
+int monitpu_kasai_u8_64(const uint8_t* s, const int64_t* sa, int64_t n,
+                        int64_t* lcp_out) {
+  if (n <= 0) return -1;
+  std::vector<int64_t> rank(n);
+  for (int64_t i = 0; i < n; i++) rank[sa[i]] = i;
+  int64_t h = 0;
+  lcp_out[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t ri = rank[i];
+    if (ri > 0) {
+      int64_t j = sa[ri - 1];
+      while (i + h < n && j + h < n && s[i + h] == s[j + h]) h++;
+      lcp_out[ri] = h;
+      if (h > 0) h--;
+    } else {
+      h = 0;
+    }
+  }
+  return 0;
+}
+
 // Kasai LCP: lcp_out[i] = lce(s[sa[i-1]..], s[sa[i]..]), lcp_out[0] = 0.
 int monitpu_kasai_u8(const uint8_t* s, const int32_t* sa, int64_t n,
                      int32_t* lcp_out) {

@@ -43,16 +43,31 @@ def _load():
         lib.monitpu_kasai_u8.restype = ctypes.c_int
         lib.monitpu_kasai_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.monitpu_sais_u8_64.restype = ctypes.c_int
+        lib.monitpu_sais_u8_64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.monitpu_kasai_u8_64.restype = ctypes.c_int
+        lib.monitpu_kasai_u8_64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
     return _lib
+
+
+# texts beyond this use the 64-bit SA/LCP path (mirrors the reference's
+# 32/64-bit binary switch, pipeline/moni.in:195-204)
+INT32_LIMIT = 2**31 - 2
 
 
 def suffix_array(t: np.ndarray) -> np.ndarray:
     lib = _load()
     t = np.ascontiguousarray(t, dtype=np.uint8)
     n = t.size
-    sa = np.empty(n, dtype=np.int32)
-    rc = lib.monitpu_sais_u8(t.ctypes.data, n, sa.ctypes.data)
+    if n > INT32_LIMIT:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.monitpu_sais_u8_64(t.ctypes.data, n, sa.ctypes.data)
+    else:
+        sa = np.empty(n, dtype=np.int32)
+        rc = lib.monitpu_sais_u8(t.ctypes.data, n, sa.ctypes.data)
     if rc != 0:
         raise RuntimeError(f"sais failed rc={rc}")
     return sa
@@ -61,10 +76,17 @@ def suffix_array(t: np.ndarray) -> np.ndarray:
 def lcp_array(t: np.ndarray, sa: np.ndarray) -> np.ndarray:
     lib = _load()
     t = np.ascontiguousarray(t, dtype=np.uint8)
-    sa = np.ascontiguousarray(sa, dtype=np.int32)
     n = t.size
-    lcp = np.empty(n, dtype=np.int32)
-    rc = lib.monitpu_kasai_u8(t.ctypes.data, sa.ctypes.data, n, lcp.ctypes.data)
+    if sa.dtype == np.int64 or n > INT32_LIMIT:
+        sa = np.ascontiguousarray(sa, dtype=np.int64)
+        lcp = np.empty(n, dtype=np.int64)
+        rc = lib.monitpu_kasai_u8_64(t.ctypes.data, sa.ctypes.data, n,
+                                     lcp.ctypes.data)
+    else:
+        sa = np.ascontiguousarray(sa, dtype=np.int32)
+        lcp = np.empty(n, dtype=np.int32)
+        rc = lib.monitpu_kasai_u8(t.ctypes.data, sa.ctypes.data, n,
+                                  lcp.ctypes.data)
     if rc != 0:
         raise RuntimeError(f"kasai failed rc={rc}")
     return lcp

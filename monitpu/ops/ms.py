@@ -394,6 +394,14 @@ def prepare_tables_host(index):
     pangenome scale and was being paid once per process (VERDICT r2
     weak #2); staging a cached dict is pure I/O + H2D."""
     r, n = index.r, index.n
+    if n > 2**31 - 2 or index.run_starts.dtype == np.int64:
+        # beyond-int32 indexes exceed single-chip HBM anyway (lf8 alone
+        # is r*48B at int64); they are served by the 64-bit CPU engine
+        # (--engine cpu) until position-range index sharding lands
+        # (parallel/mesh.py discusses the crossover)
+        raise NotImplementedError(
+            "device tables are int32; use engine='cpu' for indexes "
+            "beyond 2^31 positions")
     d = {"n": np.int32(n), "r": np.int32(r), "sa0": np.int32(index.sa0),
          "sa_last": np.int32(index.sa_last),
          "F32": np.asarray(index.F, dtype=np.int32)}
