@@ -234,9 +234,11 @@ def bench_pe(idx, lift, rng, n_pairs, batch, tables_cache=None):
 def main():
     import contextlib
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NO persistent compile cache here: under the axon tunnel,
+    # compilation happens on a REMOTE machine; cached executables carry
+    # that machine's CPU features and segfault when a later process
+    # loads them on this host (observed: rc=139 right after a cache-hit
+    # warmup; XLA logs "machine type ... doesn't match ... SIGILL").
     log(f"devices: {jax.devices()}")
 
     # The tunnel's first device->host transfer pays a multi-minute
