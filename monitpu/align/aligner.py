@@ -277,11 +277,11 @@ class Aligner:
             from ..ops.occs import pack_seeds_wire
             if self.mesh is not None:
                 with phase_timer("device dispatch (sharded)"):
-                    seeds, wire, ctrs = self._seed_stage_sharded(
+                    seeds, wire = self._seed_stage_sharded(
                         [fwd, rc], [lens, lens])
                 return dict(reads=reads, seeds=seeds, wire=wire,
                             sharded=True, fwd=fwd, rc=rc, lens=lens,
-                            fcodes=fcodes, rcodes=rcodes, ctrs=ctrs)
+                            fcodes=fcodes, rcodes=rcodes)
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
                     [self.put_batch(fwd), self.put_batch(rc)], axis=0)
@@ -297,12 +297,13 @@ class Aligner:
                                   occ_capped])
                 # compact for transfer: the dense arrays are ~97% padding
                 # and the device->host link is the bottleneck (ONE fused
-                # wire vector — the tunnel charges ~25 ms per transfer)
+                # wire vector incl. the truncation counters — the tunnel
+                # charges ~25 ms latency per transfer)
                 W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
-                wire = pack_seeds_wire(seeds, W=W, occ_cap=OC)
+                wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
             return dict(reads=reads, seeds=seeds, wire=wire, W=W, occ_cap=OC,
                         lanes=lanes, fwd=fwd, rc=rc, lens=lens,
-                        fcodes=fcodes, rcodes=rcodes, ctrs=ctrs)
+                        fcodes=fcodes, rcodes=rcodes)
 
         with phase_timer("device dispatch"):
             dev = _device_pipeline(self.tables, self.put_batch(fwd),
@@ -355,8 +356,8 @@ class Aligner:
                 tables, *mems, max_occs=cfg.max_occs, min_len=cfg.min_len)
             ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
                               seeds.pop("occ_capped")])
-            wire = pack_seeds_wire(seeds, W=W, occ_cap=occ_cap)
-            return seeds, wire, ctrs
+            wire = pack_seeds_wire(seeds, W=W, occ_cap=occ_cap, ctrs=ctrs)
+            return seeds, wire
 
         tspec = jax.tree_util.tree_map(lambda _: P(), self.tables)
         fn = shard_map(
@@ -365,7 +366,6 @@ class Aligner:
             out_specs=(jax.tree_util.tree_map(
                 lambda _: P(READS_AXIS),
                 {"occs": 0, "cnt": 0, "len": 0, "idx": 0, "valid": 0}),
-                P(READS_AXIS),
                 P(READS_AXIS)),
             # the stage is embarrassingly parallel; the varying-manual-
             # axes checker rejects unvarying scan/while carry inits
@@ -395,7 +395,8 @@ class Aligner:
         occ_l = (n_lanes // 2) * self.cfg.pack_occs_per_read * lb
         shards = [unpack_seeds_wire(buf[s * seg_len:(s + 1) * seg_len],
                                     lbW, occ_l, S) for s in range(nsh)]
-        if any(p is None for p in shards):
+        ctrs = np.sum([c for _, c in shards], axis=0)
+        if any(p is None for p, _ in shards):
             self.stats["seed_pack_overflow"] = (
                 self.stats.get("seed_pack_overflow", 0) + 1)
             dense = {k: np.asarray(v) for k, v in h["seeds"].items()}
@@ -405,11 +406,11 @@ class Aligner:
                 [np.arange(lb) + s * n_lanes * lb + seg * lb
                  for seg in range(n_lanes) for s in range(nsh)])
             dense = {k: v[perm] for k, v in dense.items()}
-            return pack_seeds_host(dense)
+            return pack_seeds_host(dense), ctrs
         parts = {k: [] for k in ("row", "slot", "len", "idx", "cnt", "off")}
         occ_base = 0
         occs = []
-        for s, p in enumerate(shards):
+        for s, (p, _) in enumerate(shards):
             row_l = p["row"]
             seg = row_l // lb
             parts["row"].append(
@@ -425,33 +426,36 @@ class Aligner:
         out["n_valid"] = np.int32(out["row"].shape[0])
         out["n_occ"] = np.int32(occ_base)
         out["S"] = S
-        return out
+        return out, ctrs
 
-    def _accumulate_ctrs(self, h):
+    def _note_ctrs(self, c):
         """Truncation counters (LCE pool, MEM cap, occ-walk cap) into
         stats — non-zero means pools should be resized (-> AlignConfig
-        max_mems / max_occs / lce_work). Returns the summed triple."""
-        if "ctrs" not in h:
-            return np.zeros(3, np.int64)
-        c = np.asarray(h["ctrs"]).reshape(-1, 3).sum(axis=0)
+        max_mems / max_occs / lce_work). The counters ride the wire
+        header (pack_seeds_wire), so no separate device pull."""
         for i, k in enumerate(("lce_overflow", "mem_overflow",
                                "occ_walk_capped")):
             if c[i]:
                 self.stats[k] = self.stats.get(k, 0) + int(c[i])
         return c
 
-    def _seeds_exact_retry(self, h, n_lanes=2):
-        """LCE-pool / MEM-cap truncation is recoverable: the batch is
-        re-dispatched with doubled pools until the counters stop firing
-        (<= 2 doublings), so native-path results stay EXACT on
-        pathological batches instead of silently approximate — the CPU
-        engine and the oracle have no such pools, so this is what keeps
-        engine parity unconditional. The occurrence-walk cap (max_occs)
-        is intentionally NOT retried: both engines share that knob.
-        Returns an updated handle (possibly h itself)."""
-        c = self._accumulate_ctrs(h)
+    def _pull_seeds(self, h, n_lanes=2):
+        """Pull the packed seeds + counters, retrying with enlarged
+        pools while the LCE/MEM counters fire (<= 2 doublings), so
+        native-path results stay EXACT on pathological batches — the
+        CPU engine and the oracle have no such pools, so this is what
+        keeps engine parity unconditional. The occurrence-walk cap
+        (max_occs) is intentionally NOT retried: both engines share
+        that knob. Returns (handle, packed)."""
+        if "packed_host" in h:
+            return h, h["packed_host"]
+        if h.get("sharded"):
+            packed, c = self._merge_sharded_pack(h, n_lanes)
+        else:
+            packed, c = self._pull_wire(h)
+        c = self._note_ctrs(c)
         if c[0] == 0 and c[1] == 0:
-            return h
+            return h, packed
         cfg = self.cfg
         from ..ops.occs import pack_seeds_wire
         if n_lanes == 2:
@@ -481,11 +485,11 @@ class Aligner:
                 # pools, same shard layout — a pathological batch must
                 # not silently serialize onto one device
                 with phase_timer("device dispatch (pool retry, sharded)"):
-                    seeds, wire, ctrs = self._seed_stage_sharded(
+                    seeds, wire = self._seed_stage_sharded(
                         arrays, lens, max_mems=max_mems, work=work)
                 h = dict(h)
                 h["seeds"], h["wire"] = seeds, wire
-                c = np.asarray(ctrs).reshape(-1, 3).sum(axis=0)
+                packed, c = self._merge_sharded_pack(h, n_lanes)
                 if c[0] == 0 and c[1] == 0:
                     break
                 continue
@@ -503,16 +507,16 @@ class Aligner:
                 occ_capped = seeds.pop("occ_capped")
                 ctrs = jnp.stack([mctr["lce_dropped"],
                                   mctr["mem_dropped"], occ_capped])
-                wire = pack_seeds_wire(seeds, W=W, occ_cap=OC)
+                wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
             h = dict(h)
             h["seeds"], h["wire"] = seeds, wire
             h["W"], h["occ_cap"] = W, OC
             if "lanes" in h:
                 h["lanes"] = lanes
-            c = np.asarray(ctrs).reshape(-1, 3).sum(axis=0)
+            packed, c = self._pull_wire(h, timer="device wait (retry)")
             if c[0] == 0 and c[1] == 0:
                 break
-        return h
+        return h, packed
 
     def _extz_runner_kwargs(self, h):
         """kwargs enabling the device score-pass in postseed_se (the
@@ -546,46 +550,22 @@ class Aligner:
         with phase_timer(timer):
             buf = np.asarray(h["wire"])
         S = int(h["seeds"]["len"].shape[1])
-        packed = unpack_seeds_wire(buf, h["W"], h["occ_cap"], S)
+        packed, ctrs = unpack_seeds_wire(buf, h["W"], h["occ_cap"], S)
         if packed is None:
             self.stats["seed_pack_overflow"] = (
                 self.stats.get("seed_pack_overflow", 0) + 1)
             with phase_timer("device wait (dense fallback)"):
                 packed = pack_seeds_host(
                     {k: np.asarray(v) for k, v in h["seeds"].items()})
-        return packed
+        return packed, ctrs
 
     def _complete_native(self, h):
         """Native post-seed completion: pull the packed seeds (dense
         fallback when the pack budget overflowed), run the C++ runtime."""
-        from .postseed import postseed_se, pack_seeds_host
-        h = self._seeds_exact_retry(h)
-        if "packed_host" in h:   # cpu engine: already host-side
-            packed = h["packed_host"]
-            with phase_timer("native postseed"):
-                records, skipped = postseed_se(
-                    self.index, packed, h["fwd"], h["rc"], h["lens"],
-                    h["reads"], self.postseed_config(),
-                    liftidx=self.liftidx)
-            self.last_chains_skipped = [int(x) for x in skipped]
-            self.stats["processed"] += len(records)
-            self.stats["aligned"] += sum(
-                1 for r in records if not (r.flag & SAM_UNMAPPED))
-            return records
-        if h.get("sharded"):
-            packed = self._merge_sharded_pack(h)
-            with phase_timer("native postseed"):
-                records, skipped = postseed_se(
-                    self.index, packed, h["fwd"], h["rc"], h["lens"],
-                    h["reads"], self.postseed_config(),
-                    liftidx=self.liftidx)
-            self.last_chains_skipped = [int(x) for x in skipped]
-            self.stats["processed"] += len(records)
-            self.stats["aligned"] += sum(
-                1 for r in records if not (r.flag & SAM_UNMAPPED))
-            return records
-        packed = self._pull_wire(h)
-        runner_kw = self._extz_runner_kwargs(h)
+        from .postseed import postseed_se
+        h, packed = self._pull_seeds(h)
+        runner_kw = self._extz_runner_kwargs(h) if "packed_host" not in h \
+            and not h.get("sharded") else {}
         with phase_timer("native postseed"):
             records, skipped = postseed_se(
                 self.index, packed, h["fwd"], h["rc"], h["lens"],
@@ -607,15 +587,9 @@ class Aligner:
         from .postseed import postseed_se_begin
         if not ("seeds" in h or "packed_host" in h):
             raise ValueError("complete_batch_sam requires the native path")
-        h = self._seeds_exact_retry(h)
-        if "packed_host" in h:
-            packed = h["packed_host"]
-        elif h.get("sharded"):
-            packed = self._merge_sharded_pack(h)
-        else:
-            packed = self._pull_wire(h)
+        h, packed = self._pull_seeds(h)
         runner_kw = self._extz_runner_kwargs(h) if "packed_host" not in h \
-            else {}
+            and not h.get("sharded") else {}
         with phase_timer("native plan+dispatch"):
             st = postseed_se_begin(
                 self.index, packed, h["fwd"], h["rc"], h["lens"],

@@ -247,10 +247,10 @@ class PairedAligner:
                         len1=len1, len2=len2)
         if al.mesh is not None:
             with phase_timer("pe device dispatch (sharded)"):
-                seeds, wire, ctrs = al._seed_stage_sharded(
+                seeds, wire = al._seed_stage_sharded(
                     [m1f, m2r, m2f, m1r], [len1, len2, len2, len1])
             return dict(batch1=batch1, batch2=batch2, seeds=seeds,
-                        wire=wire, sharded=True, ctrs=ctrs,
+                        wire=wire, sharded=True,
                         m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                         len1=len1, len2=len2)
         with phase_timer("pe device dispatch"):
@@ -267,18 +267,11 @@ class PairedAligner:
                               seeds.pop("occ_capped")])
             W, OC = 2 * cfg.pack_seeds_per_read * B, \
                 2 * cfg.pack_occs_per_read * B
-            wire = pack_seeds_wire(seeds, W=W, occ_cap=OC)
+            wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
         return dict(batch1=batch1, batch2=batch2, seeds=seeds,
                     wire=wire, W=W, occ_cap=OC,
                     m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
-                    len1=len1, len2=len2, ctrs=ctrs)
-
-    def _pull_packed(self, h):
-        if "packed_host" in h:
-            return h["packed_host"]
-        if h.get("sharded"):
-            return self.al._merge_sharded_pack(h, n_lanes=4)
-        return self.al._pull_wire(h, timer="pe device wait")
+                    len1=len1, len2=len2)
 
     def _pe_kwargs(self):
         cfg = self.cfg
@@ -292,8 +285,7 @@ class PairedAligner:
         Welford accumulator. Returns True when the model is complete."""
         from ..align.postseed import postseed_pe
         h = handle or self.submit_pair_batch(batch1, batch2)
-        h = self.al._seeds_exact_retry(h, n_lanes=4)
-        packed = self._pull_packed(h)
+        h, packed = self.al._pull_seeds(h, n_lanes=4)
         _, _, info = postseed_pe(
             self.al.index, packed, h["m1f"], h["m1r"], h["m2f"], h["m2r"],
             h["len1"], h["len2"], batch1, batch2,
@@ -305,9 +297,8 @@ class PairedAligner:
 
     def complete_pair_batch(self, h):
         from ..align.postseed import postseed_pe
-        h = self.al._seeds_exact_retry(h, n_lanes=4)
+        h, packed = self.al._pull_seeds(h, n_lanes=4)
         batch1, batch2 = h["batch1"], h["batch2"]
-        packed = self._pull_packed(h)
         with phase_timer("pe native postseed"):
             recs1, recs2, info = postseed_pe(
                 self.al.index, packed, h["m1f"], h["m1r"], h["m2f"],

@@ -42,6 +42,21 @@ NEG = -(1 << 28)     # EXTZ_NEG (native/extz_core.h)
 
 @functools.partial(
     jax.jit, static_argnames=("QMAX", "TMAX", "sm", "sx", "go", "ge"))
+def extz_score_fused(text, lanes, jobs7, QMAX, TMAX,
+                     sm=2, sx=4, go=4, ge=2):
+    """extz_score_batch with the 7 per-job vectors fused into ONE
+    int64 [7, J] matrix (rows: qrow, qoff, qrev, qlen, tpos, trev,
+    tlen) — one host->device transfer instead of seven; the tunnel
+    charges ~10-40 ms latency per transfer."""
+    i32 = lambda r: jobs7[r].astype(jnp.int32)
+    return extz_score_batch(
+        text, lanes, i32(0), i32(1), jobs7[2] != 0, i32(3),
+        jobs7[4], jobs7[5] != 0, i32(6), QMAX=QMAX, TMAX=TMAX,
+        sm=sm, sx=sx, go=go, ge=ge)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("QMAX", "TMAX", "sm", "sx", "go", "ge"))
 def extz_score_batch(text, lanes, qrow, qoff, qrev, qlen,
                      tpos, trev, tlen, QMAX, TMAX,
                      sm=2, sx=4, go=4, ge=2):
@@ -156,24 +171,16 @@ def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
         # pad J to power-of-two buckets: the kernel specializes on J,
         # and job counts vary per batch — unbucketed J would recompile
         # every batch. Pad jobs are valid 1x1 DPs whose results are
-        # dropped.
+        # dropped. All 7 job vectors ride ONE fused [7, Jp] int64 H2D.
         Jp = max(256, 1 << int(np.ceil(np.log2(idx.size))))
-        pad = Jp - idx.size
-
-        def take(k, fill=0):
-            a = jobs[k][idx]
-            if pad:
-                a = np.concatenate(
-                    [a, np.full(pad, fill, jobs[k].dtype)])
-            return jnp.asarray(a)
-        args = {k: take(k) for k in ("qrow", "qoff", "qrev",
-                                     "tpos", "trev")}
-        args["qlen"] = take("qlen", 1)
-        args["tlen"] = take("tlen", 1)
-        mqe, mqt, cor = extz_score_batch(
-            text, lanes, args["qrow"], args["qoff"],
-            args["qrev"].astype(bool), args["qlen"], args["tpos"],
-            args["trev"].astype(bool), args["tlen"],
+        fused = np.zeros((7, Jp), np.int64)
+        for r, k in enumerate(("qrow", "qoff", "qrev", "qlen",
+                               "tpos", "trev", "tlen")):
+            fused[r, :idx.size] = jobs[k][idx]
+        fused[3, idx.size:] = 1     # qlen pad: valid 1x1 DPs
+        fused[6, idx.size:] = 1     # tlen pad
+        mqe, mqt, cor = extz_score_fused(
+            text, lanes, jnp.asarray(fused),
             QMAX=tier[0], TMAX=tier[1],
             sm=sw.smatch, sx=sw.smismatch, go=sw.gapo, ge=sw.gape)
         parts.append((idx, Jp))

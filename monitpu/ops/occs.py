@@ -270,18 +270,23 @@ def pack_seeds(seeds, W, occ_cap):
 
 
 @functools.partial(jax.jit, static_argnames=("W", "occ_cap"))
-def pack_seeds_wire(seeds, W, occ_cap):
+def pack_seeds_wire(seeds, W, occ_cap, ctrs=None):
     """pack_seeds flattened into ONE int32 wire vector for a single
     device->host pull: the tunnel charges ~25 ms latency PER transfer
-    (measured), so 9 per-key pulls cost more than the payload. Layout:
-    [n_valid, n_occ, row*S+slot (W), len<<16|idx (W), cnt (W),
-    occ (occ_cap)]. 'off' is recomputable host-side (cumsum of cnt —
-    identical when no occ clipping happened; clipping implies n_occ >
-    occ_cap which forces the dense fallback anyway)."""
+    (measured), so per-key pulls cost more than the payload. Layout:
+    [n_valid, n_occ, lce_dropped, mem_dropped, occ_capped,
+    row*S+slot (W), len<<16|idx (W), cnt (W), occ (occ_cap)]. The
+    truncation counters ride the header so no separate counter pull is
+    needed. 'off' is recomputable host-side (cumsum of cnt — identical
+    when no occ clipping happened; clipping implies n_occ > occ_cap
+    which forces the dense fallback anyway)."""
     p = pack_seeds(seeds, W=W, occ_cap=occ_cap)
     S = seeds["len"].shape[1]
+    if ctrs is None:
+        ctrs = jnp.zeros((3,), jnp.int32)
     return jnp.concatenate([
         p["n_valid"].reshape(1), p["n_occ"].reshape(1),
+        ctrs.astype(jnp.int32).reshape(3),
         p["row"] * S + p["slot"],
         (p["len"] << 16) | p["idx"],
         p["cnt"],
@@ -289,15 +294,18 @@ def pack_seeds_wire(seeds, W, occ_cap):
     ])
 
 
+WIRE_HDR = 5
+
+
 def unpack_seeds_wire(buf, W, occ_cap, S):
-    """numpy inverse of pack_seeds_wire -> pack_seeds-style dict.
-    Returns None when the wire reports overflow (caller falls back to
-    the dense arrays)."""
+    """numpy inverse of pack_seeds_wire -> (pack_seeds-style dict | None
+    on overflow — caller falls back to the dense arrays, ctrs int32[3])."""
     import numpy as np
     n_valid, n_occ = int(buf[0]), int(buf[1])
+    ctrs = np.asarray(buf[2:WIRE_HDR], np.int64)
     if n_valid > W or n_occ > occ_cap:
-        return None
-    o = 2
+        return None, ctrs
+    o = WIRE_HDR
     a = buf[o:o + n_valid]
     b = buf[o + W:o + W + n_valid]
     cnt = np.ascontiguousarray(buf[o + 2 * W:o + 2 * W + n_valid])
@@ -311,4 +319,4 @@ def unpack_seeds_wire(buf, W, occ_cap, S):
         "idx": np.ascontiguousarray(b & 0xFFFF),
         "cnt": cnt, "off": off, "occ": occ,
         "n_valid": np.int32(n_valid), "n_occ": np.int32(n_occ), "S": S,
-    }
+    }, ctrs

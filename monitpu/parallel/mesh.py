@@ -11,17 +11,32 @@ in the reference. Insert-size learning (paired-end) is the one global
 reduction and uses a psum of Welford accumulators (mirrors the
 mutex-merged accumulators, aligner_ksw2.hpp:816-885).
 
-Index sharding for HBM overflow is deliberately NOT implemented: the
-schema's own n < 2^31 positions bound (int32 tables, index/build.py)
-binds BEFORE HBM does on a 16 GB v5e chip — position-indexed device
-arrays cost ~8 bytes/position (pos->run map, Phi anchor deltas, packed
-text), so the largest legal index (~2.1 G positions) tops out around
-the chip's HBM. Growing past that requires widening the schema to
-int64 first, at which point position-range sharding with routed
-gathers (all_gather queries / psum answers inside shard_map) is the
-plan of record. For very large n within the bound, the pos->run map
-can be swapped back to the 1.25 B/position block+delta layout that the
-SPUMONI path still uses (ops/ms.lf_core_tables).
+Index sharding for HBM overflow is deliberately NOT implemented. The
+honest device-memory arithmetic for the aligner-path tables
+(ops/ms.prepare_tables_host layout):
+
+    per position: run_idx 4 B + text 1.25 B + phi/phiinv kd_u8 2 B
+                  + phi block anchors ~0.13 B          ~= 7.4 B/pos
+    per run:      lf8 (SIGMA x 8 x int32) 192 B
+                  + phi3/phiinv3 rows ~24 B            ~= 216 B/run
+
+    HBM(n, r) ~= 7.4 n + 216 r     (measured 0.72 GB at the bench's
+                 n = 16.0 M, r = 3.12 M: 0.12 + 0.60 GB; bench.py logs
+                 peak_bytes_in_use for each run)
+
+On a 16 GB v5e chip the binding constraint depends on repetitiveness:
+at n/r = 5 (the synthetic bench) HBM runs out near n ~= 0.3 G, well
+BEFORE the int32 n < 2^31 schema bound; at pangenome repetitiveness
+(n/r ~= 20-100, many haplotypes of one reference) the crossover is
+n ~= 1.2-1.9 G and the int32 bound binds first. Indexes beyond either
+limit are served today by the 64-bit CPU engine (index/build.py's
+int64 path + --engine cpu); the TPU plan of record for them is
+position-range sharding with routed gathers (all_gather queries /
+psum answers inside shard_map) over the reads mesh. For HBM-tight
+cases within int32, the pos->run map can also be swapped back to the
+1.25 B/position block+delta layout that the SPUMONI path still uses
+(ops/ms.lf_core_tables) and the lf8 threshold-jump samples dropped to
+a 16 B row (costing one extra gather per mismatch step).
 """
 
 from __future__ import annotations
