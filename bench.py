@@ -303,36 +303,40 @@ def main():
     n_done = aligned = acc_ok = acc_tot = 0
     t_begin = t_submit = t_finish = 0.0
     sam_bytes = 0
-    # 3-phase pipeline: begin (pull + plan + extz dispatch) -> submit
-    # next (seed stage queues AFTER the short extz kernels on the FIFO
-    # device queue) -> finish (resolve + SAM)
-    pending = None
+    # 2-deep pipeline (zero device idle): submit seed k+1 FIRST, then
+    # begin batch k (pull wire k — it lands while seed k+1 runs — plan,
+    # dispatch extz k BEHIND seed k+1 on the FIFO queue), then finish
+    # batch k-1 (its extz ran between seeds, so resolve + SAM overlap
+    # seed k+1 on the host). Costs one extra batch of latency; removes
+    # the pull+plan device bubble of the 1-deep order (~20% wall).
+    from collections import deque
+    subq, begq = deque(), deque()
+    offs = list(range(BATCH, N_READS, BATCH))
     with trace_cm:
-        for off in list(range(BATCH, N_READS, BATCH)) + [None]:
+        for off in offs + [None, None]:
             chunk = reads[off:off + BATCH] if off is not None else []
-            p = None
-            if pending is not None:
-                ts = time.time()
-                p = aligner.begin_complete_sam(pending[0])
-                t_begin += time.time() - ts
             if len(chunk) == BATCH:
                 ts = time.time()
-                handle = aligner.submit_batch(chunk)
+                subq.append((aligner.submit_batch(chunk), off))
                 t_submit += time.time() - ts
-            else:
-                handle = None
-            if p is not None:
+            draining = off is None
+            if len(subq) >= (2 if not draining else 1):
+                h, o = subq.popleft()
                 ts = time.time()
-                sam, o = aligner.finish_complete_sam(p)
+                begq.append((aligner.begin_complete_sam(h), o))
+                t_begin += time.time() - ts
+            if len(begq) >= (2 if not draining else 1):
+                st, o_off = begq.popleft()
+                ts = time.time()
+                sam, o = aligner.finish_complete_sam(st)
                 t_finish += time.time() - ts
                 B = len(o["flag"])
                 n_done += B
                 aligned += int(((o["flag"] & 4) == 0).sum())
-                ok, tot = acc_batch(o, pending[1], B)
+                ok, tot = acc_batch(o, o_off, B)
                 acc_ok += ok
                 acc_tot += tot
                 sam_bytes += len(sam)
-            pending = (handle, off) if handle is not None else None
     dt = time.time() - t0
     if trace_dir:
         log(f"profiler trace written to {trace_dir}")

@@ -31,7 +31,8 @@ import numpy as np
 from ..index.alphabet import (encode_seq, revcomp_codes, decode_seq,
                               encode_batch)
 from ..index.schema import MoniIndex
-from ..ops.ms import extract_windows, find_mems_batch, prepare_tables
+from ..ops.ms import (extract_windows, find_mems_batch, prepare_tables,
+                      AUTO_WORK_PER_READ)
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import ChainConfig, find_chains_batch
 from ..ops.sw import SWParams, sw_fit_banded
@@ -288,7 +289,7 @@ class Aligner:
                 lens2 = jnp.concatenate([self.put_batch(lens)] * 2, axis=0)
                 *mems, mctr = find_mems_batch(
                     self.tables, lanes, lens2, max_mems=cfg.max_mems,
-                    min_len=cfg.min_len, work_per_read=cfg.lce_work or 96)
+                    min_len=cfg.min_len, work_per_read=cfg.lce_work or AUTO_WORK_PER_READ)
                 seeds = populate_seeds_batch(
                     self.tables, *mems, max_occs=cfg.max_occs,
                     min_len=cfg.min_len)
@@ -301,6 +302,7 @@ class Aligner:
                 # charges ~25 ms latency per transfer)
                 W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
                 wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
+                self._prefetch_wire(wire)
             return dict(reads=reads, seeds=seeds, wire=wire, W=W, occ_cap=OC,
                         lanes=lanes, fwd=fwd, rc=rc, lens=lens,
                         fcodes=fcodes, rcodes=rcodes)
@@ -344,7 +346,7 @@ class Aligner:
         occ_cap = (n_lanes // 2) * cfg.pack_occs_per_read * lb
 
         max_mems = max_mems or cfg.max_mems
-        work = work or cfg.lce_work or 96
+        work = work or cfg.lce_work or AUTO_WORK_PER_READ
 
         def stage(tables, *shards):
             lanes = jnp.concatenate(shards[:n_lanes], axis=0)
@@ -428,6 +430,18 @@ class Aligner:
         out["S"] = S
         return out, ctrs
 
+    @staticmethod
+    def _prefetch_wire(wire):
+        """Start the device->host copy of the packed-seed wire as soon
+        as the seed kernels finish, instead of when the completion pull
+        asks for it — the transfer then overlaps whatever the host is
+        doing between submit and begin (the np.asarray in _pull_wire
+        reuses the async copy)."""
+        try:
+            wire.copy_to_host_async()
+        except Exception:
+            pass   # non-jax array (tests) or backend without support
+
     def _note_ctrs(self, c):
         """Truncation counters (LCE pool, MEM cap, occ-walk cap) into
         stats — non-zero means pools should be resized (-> AlignConfig
@@ -469,7 +483,7 @@ class Aligner:
         M = arrays[0].shape[1]
         W = (n_lanes // 2) * cfg.pack_seeds_per_read * B
         OC = (n_lanes // 2) * cfg.pack_occs_per_read * B
-        max_mems, work = cfg.max_mems, cfg.lce_work or 96
+        max_mems, work = cfg.max_mems, cfg.lce_work or AUTO_WORK_PER_READ
         for attempt in range(3):
             # counter-informed resize: the dropped counts bound how much
             # bigger the pools must be to cover this batch exactly

@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
-from ..ops.ms import find_mems_batch
+from ..ops.ms import find_mems_batch, AUTO_WORK_PER_READ
 from ..ops.sw import sw_fit_banded
 from .aligner import Aligner, AlignConfig, _host_finalize
 from .sam import SamRecord, SAM_REVERSED, cigar_ops_to_string

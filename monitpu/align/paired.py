@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
-from ..ops.ms import extract_windows, find_mems_batch
+from ..ops.ms import extract_windows, find_mems_batch, AUTO_WORK_PER_READ
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import find_chains_batch
 from ..ops.sw import sw_fit_banded
@@ -259,7 +259,7 @@ class PairedAligner:
             *mems, mctr = find_mems_batch(al.tables, lanes, lensx,
                                           max_mems=cfg.max_mems,
                                           min_len=cfg.min_len,
-                                          work_per_read=cfg.lce_work or 96)
+                                          work_per_read=cfg.lce_work or AUTO_WORK_PER_READ)
             seeds = populate_seeds_batch(al.tables, *mems,
                                          max_occs=cfg.max_occs,
                                          min_len=cfg.min_len)
@@ -268,6 +268,7 @@ class PairedAligner:
             W, OC = 2 * cfg.pack_seeds_per_read * B, \
                 2 * cfg.pack_occs_per_read * B
             wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
+            al._prefetch_wire(wire)
         return dict(batch1=batch1, batch2=batch2, seeds=seeds,
                     wire=wire, W=W, occ_cap=OC,
                     m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,

@@ -254,13 +254,17 @@ def cmd_align(args):
         reads_file = args.mate1 or args.pattern
         use_fast = (not report and not csv_fd
                     and getattr(aligner.cfg, "postseed", "") == "native")
-        # 3-phase pipeline (fast path): begin completion of batch k
-        # (pull + plan + extz dispatch), submit batch k+1 (its seed
-        # stage queues AFTER the short extz kernels), finish batch k
-        # (resolve + native SAM bytes) — the TPU-native analog of the
-        # reference's double-buffered reader threads
-        # (align_reads_dispatcher.hpp:118-198).
-        pending = None   # (handle, batch_index, n_real_reads)
+        # 2-deep pipeline (fast path): submit batch k+1 first, then
+        # begin batch k (pull + plan; its extz kernels queue BEHIND
+        # seed k+1 on the FIFO device queue), then finish batch k-1
+        # (resolve + native SAM bytes, overlapping seed k+1 on the
+        # host) — the TPU-native analog of the reference's double-
+        # buffered reader threads (align_reads_dispatcher.hpp:118-198),
+        # one batch deeper so the device never idles during the host
+        # plan phase.
+        from collections import deque
+        subq = deque()   # (handle, batch_index, n_real_reads)
+        begq = deque()   # (state, batch_index, n_real_reads)
         batches = range_limit(read_fastq_batches(reads_file,
                                                  args.batch_size))
 
@@ -284,13 +288,13 @@ def cmd_align(args):
             nreal = len(batch)
             batch = pad_batch(batch)
             if use_fast:
-                p = None
-                if pending is not None:
-                    p = aligner.begin_complete_sam(pending[0])
-                handle = aligner.submit_batch(batch)
-                if p is not None:
-                    finish_pending(p, pending[1], pending[2])
-                pending = (handle, bi, nreal)
+                subq.append((aligner.submit_batch(batch), bi, nreal))
+                if len(subq) >= 2:
+                    h, pbi, pn = subq.popleft()
+                    begq.append((aligner.begin_complete_sam(h), pbi, pn))
+                if len(begq) >= 2:
+                    p, pbi, pn = begq.popleft()
+                    finish_pending(p, pbi, pn)
                 continue
             recs = (aligner.report_mems_batch(batch) if report
                     else aligner.align_batch(batch))
@@ -306,9 +310,12 @@ def cmd_align(args):
             checkpoint(bi)
             n += len(batch)
             log(f"{n} reads, {n/(time.time()-t0):.0f} reads/s")
-        if pending is not None:
-            finish_pending(aligner.begin_complete_sam(pending[0]),
-                           pending[1], pending[2])
+        while subq:
+            h, pbi, pn = subq.popleft()
+            begq.append((aligner.begin_complete_sam(h), pbi, pn))
+        while begq:
+            p, pbi, pn = begq.popleft()
+            finish_pending(p, pbi, pn)
         log(f"done: {aligner.stats}")
     if args.output:
         out.close()

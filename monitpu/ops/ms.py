@@ -180,12 +180,30 @@ def _compact(mask, W):
 
 
 LCE_CHUNK = 16        # phase-1 LCE compare width (covers ~99% of jumps)
-LCE_CHUNK2 = 32       # phase-2 survivor round width
+LCE_CHUNK2 = 64       # phase-2 survivor round width
 DEFAULT_WORK_PER_READ = 96  # flat LCE worklist lanes per batch row
+# The aligner-path pool (AUTO): a typical 150 bp read lane has ~3 jump
+# positions (errors + MEM boundaries), so 8 batch-shared lanes per row
+# is ~2.5x headroom; overflow is counted (lce_dropped) and the aligner
+# retries the batch with a doubled pool, so results stay exact. The
+# conservative 96 default remains for bare find_mems/ms calls (ms/mems
+# CLI, spumoni) where no retry loop sits above the kernel. Shrinking
+# the pool matters because every worklist lane pays its LCE gathers
+# whether active or padding: at 96/row the phase-1 gather round was
+# ~46% of seed-stage device time on the bench (profile_seed.py).
+AUTO_WORK_PER_READ = 8
 
 
 @functools.partial(jax.jit, static_argnames=("work_per_read",))
 def ms_lengths_batch(tables, reads, read_lens, ptr,
+                     work_per_read=DEFAULT_WORK_PER_READ):
+    """MS lengths from pointers (see _ms_lengths_core; drops the
+    overflow counter for callers that only want the array)."""
+    return _ms_lengths_core(tables, reads, read_lens, ptr,
+                            work_per_read)[0]
+
+
+def _ms_lengths_core(tables, reads, read_lens, ptr,
                      work_per_read=DEFAULT_WORK_PER_READ):
     """MS lengths from pointers.
 
@@ -252,9 +270,15 @@ def ms_lengths_batch(tables, reads, read_lens, ptr,
                               jnp.zeros((W,), jnp.int32), LCE_CHUNK)
 
     # survivors ARE the real MEM candidates (~1-2 per matching lane):
-    # the pool must cover them all, or reads silently lose their MEMs
-    W2 = max(4 * B, 256)
-    src2, act2 = _compact(wactive & ~anybad1, W2)
+    # the pool must cover them all, or reads silently lose their MEMs —
+    # so the pool scales with work_per_read (the aligner's retry loop
+    # doubles it) and overflow is COUNTED (ph2_dropped -> lce_dropped)
+    # instead of silently capping survivor lengths at LCE_CHUNK
+    W2 = max(min(work_per_read, 24) * B // 2, 256)
+    surv = wactive & ~anybad1
+    ph2_dropped = jnp.maximum(
+        jnp.sum(surv.astype(jnp.int32)) - W2, 0).astype(jnp.int32)
+    src2, act2 = _compact(surv, W2)
     wb2, wcol2, wptr2 = wb[src2], wcol[src2], wptr_[src2]
 
     def cond(state):
@@ -284,7 +308,7 @@ def ms_lengths_batch(tables, reads, read_lens, ptr,
     _, lens_T = jax.lax.scan(
         prop, jnp.zeros((B,), jnp.int32), (needy.T, lce_at.T))
     lens = lens_T.T
-    return jnp.where(valid, lens, 0)
+    return jnp.where(valid, lens, 0), ph2_dropped
 
 
 @functools.partial(jax.jit,
@@ -306,42 +330,47 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
         them (Aligner.stats) so pools can be resized."""
     B, M = reads.shape
     ptr = ms_pointers_batch(tables, reads, read_lens)
-    lens = ms_lengths_batch(tables, reads, read_lens, ptr,
-                            work_per_read=work_per_read)
+    lens, ph2_dropped = _ms_lengths_core(tables, reads, read_lens, ptr,
+                                         work_per_read=work_per_read)
 
     prev_lens = jnp.pad(lens, ((0, 0), (1, 0)))[:, :M]
-    is_mem = (lens >= prev_lens) & (lens >= min_len)
-    # all-N suppression: count of N codes in read[i:i+l] == l
-    is_n = (reads == 5).astype(jnp.int32)
-    ncum = jnp.pad(jnp.cumsum(is_n, axis=1), ((0, 0), (1, 0)))
-    cols = jnp.arange(M)[None, :]
-    end = jnp.clip(cols + lens, 0, M)
-    n_in_mem = jnp.take_along_axis(ncum, end, axis=1) - \
-        jnp.take_along_axis(ncum, cols + jnp.zeros_like(lens), axis=1)
-    is_mem = is_mem & (n_in_mem < lens)
+    cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+    # all-N suppression, gather-free: read[i:i+l] is all N iff the first
+    # non-N position at or after i (suffix-min of column index over
+    # non-N positions) lies at or beyond i+l — pure elementwise +
+    # one reversed cummin instead of two [B, M] take_along_axis gathers
+    first_non_n = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(reads != 5, cols + jnp.zeros_like(reads),
+                           jnp.int32(M + 1)), axis=1), axis=1), axis=1)
     mask = cols < read_lens[:, None]
-    is_mem = is_mem & mask
+    is_mem = ((lens >= prev_lens) & (lens >= min_len)
+              & (first_non_n < cols + lens) & mask)
 
     # overflow accounting (VERDICT r1: silent truncation)
     prev_ptr = jnp.pad(ptr, ((0, 0), (1, 0)), constant_values=-2)[:, :M]
     needy_total = jnp.sum((ptr != prev_ptr + 1) & mask)
     lce_dropped = jnp.maximum(
-        needy_total - work_per_read * B, 0).astype(jnp.int32)
+        needy_total - work_per_read * B, 0).astype(jnp.int32) + ph2_dropped
 
     slot = jnp.cumsum(is_mem.astype(jnp.int32), axis=1) - 1
     raw_count = slot[:, -1] + 1
     mem_dropped = jnp.sum(jnp.maximum(raw_count - max_mems, 0)).astype(
         jnp.int32)
     mem_count = jnp.minimum(raw_count, max_mems)
-    slot = jnp.where(is_mem & (slot < max_mems), slot, max_mems)  # drop lane
-    rows = jnp.arange(B)[:, None].repeat(M, 1)
-    mem_ptr = jnp.zeros((B, max_mems + 1), jnp.int32).at[rows, slot].set(
-        ptr, mode="drop")[:, :max_mems]
-    mem_len = jnp.zeros((B, max_mems + 1), jnp.int32).at[rows, slot].set(
-        lens, mode="drop")[:, :max_mems]
-    mem_idx = jnp.zeros((B, max_mems + 1), jnp.int32).at[rows, slot].set(
-        cols + jnp.zeros_like(lens), mode="drop")[:, :max_mems]
-    return mem_ptr, mem_len, mem_idx, mem_count, {
+    # per-row cap makes the batch-global survivor count <= B * max_mems
+    # exactly, so a flat compaction + ONE small scatter replaces three
+    # full-width [B, M] scatters (scatter cost scales with the number of
+    # scattered indices; the dense form paid 2.6M per array at bench
+    # shape for ~30k real MEMs)
+    keep = is_mem & (slot < max_mems)
+    Wm = B * max_mems
+    srcm, actm = _compact(keep.reshape(-1), Wm)
+    fl = lambda a: a.reshape(-1)[srcm]
+    dest = jnp.where(actm, (srcm // M) * max_mems + fl(slot), Wm)
+    out = jnp.zeros((3, Wm + 1), jnp.int32).at[:, dest].set(
+        jnp.stack([fl(ptr), fl(lens), (srcm % M).astype(jnp.int32)]),
+        mode="drop")[:, :Wm].reshape(3, B, max_mems)
+    return out[0], out[1], out[2], mem_count, {
         "lce_dropped": lce_dropped, "mem_dropped": mem_dropped}
 
 

@@ -73,7 +73,12 @@ def enumerate_occs(tables, up_start, down_start, length, active,
         jnp.where(put, up_start, 0))
     cnt = cnt + put.astype(jnp.int32)
 
-    P1_ROUNDS = 6   # covers the typical haplotype-count occurrence list
+    P1_ROUNDS = 3   # covers the typical per-direction walk depth (an
+    # occurrence list of ~one-per-haplotype splits into up+down walks of
+    # a step or two each); deeper walkers fall to the compacted pool, so
+    # shrinking this trades rare narrow pool rounds for 2x fewer
+    # full-width rounds — the full-width rounds dominated seed-stage
+    # profile (tools/profile_seed.py)
 
     def walk(occs, cnt, start, step_fn, boundary):
         """Two-phase lockstep walk: a fixed number of full-width rounds
