@@ -208,6 +208,19 @@ class Aligner:
         self.stats = {"processed": 0, "aligned": 0}
         self.mesh = None
         self._batch_sharding = None
+        # sticky seed-pool sizes: exact-retry doublings are remembered
+        # here so a workload that overflows the default pools pays the
+        # retry round-trip ONCE, not per batch — subsequent submits
+        # dispatch with the converged sizes (one extra compile each
+        # time a pool grows)
+        self._pool_work = None
+        self._pool_mems = None
+
+    def seed_pools(self):
+        """(max_mems, lce work lanes/row) for the next seed dispatch."""
+        cfg = self.cfg
+        return (self._pool_mems or cfg.max_mems,
+                self._pool_work or cfg.lce_work or AUTO_WORK_PER_READ)
 
     def enable_mesh(self, n_devices=None):
         """Data-parallel execution over a device mesh: index tables
@@ -283,13 +296,14 @@ class Aligner:
                 return dict(reads=reads, seeds=seeds, wire=wire,
                             sharded=True, fwd=fwd, rc=rc, lens=lens,
                             fcodes=fcodes, rcodes=rcodes)
+            max_mems, work = self.seed_pools()
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
                     [self.put_batch(fwd), self.put_batch(rc)], axis=0)
                 lens2 = jnp.concatenate([self.put_batch(lens)] * 2, axis=0)
                 *mems, mctr = find_mems_batch(
-                    self.tables, lanes, lens2, max_mems=cfg.max_mems,
-                    min_len=cfg.min_len, work_per_read=cfg.lce_work or AUTO_WORK_PER_READ)
+                    self.tables, lanes, lens2, max_mems=max_mems,
+                    min_len=cfg.min_len, work_per_read=work)
                 seeds = populate_seeds_batch(
                     self.tables, *mems, max_occs=cfg.max_occs,
                     min_len=cfg.min_len)
@@ -345,8 +359,9 @@ class Aligner:
         W = (n_lanes // 2) * cfg.pack_seeds_per_read * lb
         occ_cap = (n_lanes // 2) * cfg.pack_occs_per_read * lb
 
-        max_mems = max_mems or cfg.max_mems
-        work = work or cfg.lce_work or AUTO_WORK_PER_READ
+        pool_mems, pool_work = self.seed_pools()
+        max_mems = max_mems or pool_mems
+        work = work or pool_work
 
         def stage(tables, *shards):
             lanes = jnp.concatenate(shards[:n_lanes], axis=0)
@@ -483,7 +498,7 @@ class Aligner:
         M = arrays[0].shape[1]
         W = (n_lanes // 2) * cfg.pack_seeds_per_read * B
         OC = (n_lanes // 2) * cfg.pack_occs_per_read * B
-        max_mems, work = cfg.max_mems, cfg.lce_work or AUTO_WORK_PER_READ
+        max_mems, work = self.seed_pools()
         for attempt in range(3):
             # counter-informed resize: the dropped counts bound how much
             # bigger the pools must be to cover this batch exactly
@@ -530,6 +545,11 @@ class Aligner:
             packed, c = self._pull_wire(h, timer="device wait (retry)")
             if c[0] == 0 and c[1] == 0:
                 break
+        # sticky: later batches dispatch with the converged pools
+        # directly — a workload that needs bigger pools pays the
+        # synchronous retry round-trip once, not per batch
+        self._pool_work = max(self._pool_work or 0, work)
+        self._pool_mems = max(self._pool_mems or 0, max_mems)
         return h, packed
 
     def _extz_runner_kwargs(self, h):

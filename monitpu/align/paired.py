@@ -253,13 +253,14 @@ class PairedAligner:
                         wire=wire, sharded=True,
                         m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                         len1=len1, len2=len2)
+        max_mems, work = al.seed_pools()
         with phase_timer("pe device dispatch"):
             lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
             lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
             *mems, mctr = find_mems_batch(al.tables, lanes, lensx,
-                                          max_mems=cfg.max_mems,
+                                          max_mems=max_mems,
                                           min_len=cfg.min_len,
-                                          work_per_read=cfg.lce_work or AUTO_WORK_PER_READ)
+                                          work_per_read=work)
             seeds = populate_seeds_batch(al.tables, *mems,
                                          max_occs=cfg.max_occs,
                                          min_len=cfg.min_len)

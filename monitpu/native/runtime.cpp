@@ -35,6 +35,48 @@
 
 #include "extz_core.h"
 
+#include <atomic>
+
+// ---- opt-in phase accounting (the MTIME analog for the native side;
+// include/common/common.hpp:468-525). Zero-cost when off; enabled via
+// monitpu_prof_reset(1) from tools/profile_postseed.py. ----
+namespace {
+struct NativeProf {
+  std::atomic<int64_t> build_ns{0}, chain_ns{0}, select_ns{0},
+      resolve_ns{0}, mems_n{0}, anchors_n{0}, chains_n{0}, jobs_n{0};
+  std::atomic<bool> on{false};
+};
+NativeProf g_prof;
+inline int64_t prof_now() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+}  // namespace
+
+extern "C" void monitpu_prof_reset(int enable) {
+  g_prof.on.store(enable != 0);
+  g_prof.build_ns = 0;
+  g_prof.chain_ns = 0;
+  g_prof.select_ns = 0;
+  g_prof.resolve_ns = 0;
+  g_prof.mems_n = 0;
+  g_prof.anchors_n = 0;
+  g_prof.chains_n = 0;
+  g_prof.jobs_n = 0;
+}
+
+extern "C" void monitpu_prof_read(int64_t* out8) {
+  out8[0] = g_prof.build_ns.load();
+  out8[1] = g_prof.chain_ns.load();
+  out8[2] = g_prof.select_ns.load();
+  out8[3] = g_prof.resolve_ns.load();
+  out8[4] = g_prof.mems_n.load();
+  out8[5] = g_prof.anchors_n.load();
+  out8[6] = g_prof.chains_n.load();
+  out8[7] = g_prof.jobs_n.load();
+}
+
 namespace {
 
 using monitpu::ExtzOut;
@@ -1059,10 +1101,23 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
     s.bk.cursor = plan->job_off;
     s.bk.end = plan->job_off + (int64_t)plan->jobs.size();
   } else {
+    const bool prof = g_prof.on.load(std::memory_order_relaxed);
+    int64_t t0 = prof ? prof_now() : 0;
     s.mems.clear();
     build_mems(c, sd, s, B, b, s.mems);
     if (p.filter_freq) seed_freq_filter(s.mems, p.freq_thr);
+    if (prof) {
+      int64_t t1 = prof_now();
+      g_prof.build_ns += t1 - t0;
+      g_prof.mems_n += (int64_t)s.mems.size();
+      t0 = t1;
+    }
     find_chains(s.mems, p, p.secondary != 0, s.anchors, s.chains, s.dp);
+    if (prof) {
+      g_prof.chain_ns += prof_now() - t0;
+      g_prof.anchors_n += (int64_t)s.anchors.size();
+      g_prof.chains_n += (int64_t)s.chains.size();
+    }
     if (mode == MODE_PLAN) {
       plan->mems = std::move(s.mems);
       plan->anchors = std::move(s.anchors);
@@ -1086,6 +1141,20 @@ void align_one(const Ctx& c, Scratch& s, const SeedArrays& sd,
     if (mode != MODE_PLAN) set_unmapped();
     return;
   }
+
+  // RAII accounting of everything from selection onward: plan-mode
+  // job building lands in select_ns, resolve replay in resolve_ns
+  struct ProfScope {
+    std::atomic<int64_t>* tgt;
+    int64_t t0;
+    ProfScope(std::atomic<int64_t>* t) : tgt(t), t0(t ? prof_now() : 0) {}
+    ~ProfScope() {
+      if (tgt) *tgt += prof_now() - t0;
+    }
+  } prof_scope(g_prof.on.load(std::memory_order_relaxed)
+                   ? (mode == MODE_RESOLVE ? &g_prof.resolve_ns
+                                           : &g_prof.select_ns)
+                   : nullptr);
 
   int64_t min_score = int64_t(20 + 8 * std::log(double(slen)));
 
@@ -2261,6 +2330,7 @@ int64_t monitpu_postseed_se_plan(
   }
   int64_t total = 0;
   for (auto& pl : h->plans) total += (int64_t)pl.jobs.size();
+  if (g_prof.on.load(std::memory_order_relaxed)) g_prof.jobs_n += total;
   h->alljobs.reserve(total);
   for (auto& pl : h->plans) {
     pl.job_off = (int64_t)h->alljobs.size();
