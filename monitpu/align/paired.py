@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.alphabet import encode_seq, revcomp_codes, decode_seq
-from ..ops.ms import extract_windows, find_mems_batch, AUTO_WORK_PER_READ
+from ..ops.ms import extract_windows, find_mems_batch
 from ..ops.occs import populate_seeds_batch
 from ..ops.chain import find_chains_batch
 from ..ops.sw import sw_fit_banded

@@ -39,7 +39,11 @@
 
 // ---- opt-in phase accounting (the MTIME analog for the native side;
 // include/common/common.hpp:468-525). Zero-cost when off; enabled via
-// monitpu_prof_reset(1) from tools/profile_postseed.py. ----
+// monitpu_prof_reset(1) from tools/profile_postseed.py.
+// Counters are individually atomic but not snapshotted as a set:
+// call reset/read only while no postseed call is in flight, or the
+// snapshot may mix batches (fine for the profiling tool, which runs
+// the pipeline synchronously). ----
 namespace {
 struct NativeProf {
   std::atomic<int64_t> build_ns{0}, chain_ns{0}, select_ns{0},
