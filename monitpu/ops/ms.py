@@ -132,38 +132,68 @@ def extract_windows(tables, starts, W):
     return ch.reshape(L, (W // 4) * 4)[:, :W]
 
 
-def _pack_rows_w32(rows_i32):
-    """[R, M] int32 codes (< 256) -> [R, ceil(M/4)] uint32, 4 codes per
-    word (LSB first) — the row-wise analog of text_w32."""
-    R, M = rows_i32.shape
-    pad = (-M) % 4
+def _nib_read_rows(reads, read_lens):
+    """[R, M] code rows -> [R, 2*ceil(M/8)] uint32 nibble rows (8 chars
+    per word, LSB-first, 0xF sentinel beyond the read length) — the
+    read side of the flat LCE compare (_lce_flat). The second half is
+    all-sentinel padding so a T+1-word window starting at any in-read
+    word offset stays inside the row."""
+    R, M = reads.shape
+    T = -(-M // 8)
+    cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+    r = jnp.where(cols < read_lens[:, None], reads, 15).astype(jnp.uint32)
+    pad = T * 8 - M
     if pad:
-        rows_i32 = jnp.pad(rows_i32, ((0, 0), (0, pad)))
-    w = rows_i32.astype(jnp.uint32).reshape(R, -1, 4)
-    return w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | \
-        (w[..., 3] << 24)
+        r = jnp.pad(r, ((0, 0), (0, pad)), constant_values=15)
+    r = r.reshape(R, T, 8)
+    w = r[..., 0]
+    for k in range(1, 8):
+        w = w | (r[..., k] << (4 * k))
+    return jnp.concatenate(
+        [w, jnp.full((R, T), 0xFFFFFFFF, jnp.uint32)], axis=1)
 
 
-def extract_row_windows(rw32, rows, starts, C):
-    """Codes int32[L, C] from the word-packed rows: window starting at
-    (rows[l], starts[l]). Row-wise extract_windows — C/4+1 word gathers
-    per lane instead of C element gathers (the LCE stage's read-side
-    gathers were ~40% of seed-stage device time before this)."""
-    assert C % 4 == 0
-    L = rows.shape[0]
-    W4 = rw32.shape[1]
-    starts = jnp.maximum(starts, 0)
-    nw = C // 4 + 1
-    w0 = starts >> 2
-    ph = ((starts & 3) * 8).astype(jnp.uint32)[:, None]
-    idx = jnp.clip(w0[:, None] + jnp.arange(nw)[None, :], 0, W4 - 1)
-    words = rw32[rows[:, None], idx]
-    lo = words[:, :-1] >> ph
-    hi = jnp.where(ph == 0, jnp.uint32(0), words[:, 1:] << (32 - ph))
-    merged = lo | hi
-    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
-    ch = ((merged[..., None] >> shifts) & 0xFF).astype(jnp.int32)
-    return ch.reshape(L, (C // 4) * 4)[:, :C]
+def _shift_window(words, start, T):
+    """Per-lane aligned nibble window: words [W, P] uint32 (8 chars per
+    word), start [W] char offsets (start < (P - T - 1) * 8 + 8); returns
+    [W, T] uint32 holding chars start..start+8T-1. The per-lane dynamic
+    word offset becomes a static multiway select (VPU; a take_along_axis
+    here would be another HBM gather, which is what this avoids)."""
+    W, P = words.shape
+    woff = (start >> 3).astype(jnp.int32)
+    nmax = P - (T + 1) + 1
+    out = words[:, 0:T + 1]
+    for k in range(1, nmax):
+        out = jnp.where((woff == k)[:, None], words[:, k:k + T + 1], out)
+    sh = ((start & 7) * 4).astype(jnp.uint32)[:, None]
+    hi = jnp.where(sh == 0, jnp.uint32(0),
+                   out[:, 1:] << ((32 - sh) & 31))
+    return (out[:, :T] >> sh) | hi
+
+
+def _lce_flat(t8, rnib, wb, wcol, wptr, T):
+    """Full-width LCE for every worklist lane in ONE pass: 4 text
+    row-gathers (64 chars each from the [K, 8]-word nibble-row table)
+    plus 1 read row-gather, then pure VPU align/compare — no
+    chunk/survivor phases, no while_loop (design measured in
+    tools/gatherbench.py: ~60 ns/lane vs ~10 word-gathers/lane for the
+    chunked variant). Returns lce int32[W], capped at 8T chars.
+
+    Matching stops exactly where the reference's charAt compare stops
+    (seed_finder.hpp:141): read sentinel nibbles (0xF past read end)
+    and text pad (0 past n) can never match; N (5) matches N."""
+    g0 = jnp.maximum(wptr, 0) >> 6
+    tw = jnp.concatenate([t8[g0], t8[g0 + 1], t8[g0 + 2], t8[g0 + 3]],
+                         axis=1)                       # [W, 32]
+    t_al = _shift_window(tw, jnp.maximum(wptr, 0) & 63, T)
+    r_al = _shift_window(rnib[wb], wcol, T)
+    x = t_al ^ r_al                                    # [W, T]
+    low = x & (~x + jnp.uint32(1))
+    lb = 31 - jax.lax.clz(low.astype(jnp.int32))
+    e = jnp.where(x != 0, (lb >> 2).astype(jnp.int32), 8)
+    badbefore = jnp.cumsum((e < 8).astype(jnp.int32), axis=1) - (e < 8)
+    return jnp.sum(jnp.where(badbefore == 0, e, 0), axis=1).astype(
+        jnp.int32)
 
 
 def _compact(mask, W):
@@ -179,19 +209,16 @@ def _compact(mask, W):
     return src, active
 
 
-LCE_CHUNK = 16        # phase-1 LCE compare width (covers ~99% of jumps)
-LCE_CHUNK2 = 64       # phase-2 survivor round width
 DEFAULT_WORK_PER_READ = 96  # flat LCE worklist lanes per batch row
-# The aligner-path pool (AUTO): a typical 150 bp read lane has ~3 jump
-# positions (errors + MEM boundaries), so 8 batch-shared lanes per row
-# is ~2.5x headroom; overflow is counted (lce_dropped) and the aligner
-# retries the batch with a doubled pool, so results stay exact. The
-# conservative 96 default remains for bare find_mems/ms calls (ms/mems
-# CLI, spumoni) where no retry loop sits above the kernel. Shrinking
-# the pool matters because every worklist lane pays its LCE gathers
-# whether active or padding: at 96/row the phase-1 gather round was
-# ~46% of seed-stage device time on the bench (profile_seed.py).
-AUTO_WORK_PER_READ = 8
+# The aligner-path pool (AUTO): on a pangenome with near-identical
+# haplotypes the MS walk threshold-jumps on a large fraction of steps
+# (measured ~40 jump positions per 150 bp read on the bench corpus), so
+# the pool starts at 48 shared lanes per row; overflow is counted
+# (lce_dropped) and the aligner retries with a doubled pool, so results
+# stay exact. Lane cost is ~60 ns (4 row-gathers + VPU compare, see
+# tools/gatherbench.py), so a generous pool is cheap — round 3's
+# small-pool + constant-retry regime cost more than it saved.
+AUTO_WORK_PER_READ = 48
 
 
 @functools.partial(jax.jit, static_argnames=("work_per_read",))
@@ -212,17 +239,16 @@ def _ms_lengths_core(tables, reads, read_lens, ptr,
     the match at i-1, so len[i] = len[i-1] - 1 *exactly*. Only "jump"
     positions need a real LCE against the text. Those are compacted
     BATCH-GLOBALLY into one flat worklist of work_per_read * B lanes
-    (a typical read has ~#errors+1 jumps, so the pool is shared: one
-    junk read may take many slots without starving others) and extended
-    LCE_CHUNK chars per round — one wide vector gather per round
-    instead of one tiny gather per extended char. A cheap scan then
-    propagates the shift identity. On pool overflow the dropped tail
-    positions fall back to the suffix-shift estimate (approximate but
-    smooth); size the pool to the workload via work_per_read.
+    (the pool is shared: one junk read may take many slots without
+    starving others) and resolved by _lce_flat — one full-read-width
+    nibble-packed compare per lane (4 text row-gathers + 1 read
+    row-gather + VPU). A cheap scan then propagates the shift identity.
+    On pool overflow the dropped tail positions fall back to the
+    suffix-shift estimate (approximate but smooth) and are COUNTED
+    (lce_dropped) so the aligner's exact-retry can resize the pool.
 
-    returns lens int32[B, M]."""
+    returns (lens int32[B, M], 0)."""
     B, M = reads.shape
-    n = tables["n"]
     W = work_per_read * B
 
     prev_ptr = jnp.pad(ptr, ((0, 0), (1, 0)), constant_values=-2)[:, :M]
@@ -245,55 +271,14 @@ def _ms_lengths_core(tables, reads, read_lens, ptr,
     total = jnp.sum(needy)
     wactive = jnp.arange(W) < jnp.minimum(total, W)
 
-    # Two-phase LCE. Empirically ~99% of jump LCEs sit at the random-
-    # match noise floor log4(n) < LCE_CHUNK and only ~1 per read runs
-    # long, so: phase 1 is ONE LCE_CHUNK-wide compare for every
-    # worklist lane; phase 2 loops LCE_CHUNK2-wide rounds over the few
-    # survivors compacted into a small pool. Text chars come from the
-    # word-packed text (extract_windows): C/4+1 word gathers +
-    # in-register unpack instead of per-char byte gathers.
-    reads_w32 = _pack_rows_w32(reads)
-
-    def lce_round(wb_, wcol_, wptr_v, l_, C):
-        d = jnp.arange(C)[None, :]
-        roff = wcol_[:, None] + l_[:, None] + d
-        rin = roff < read_lens[wb_][:, None]
-        tin = (wptr_v[:, None] + l_[:, None] + d) < n
-        rch = extract_row_windows(reads_w32, wb_, wcol_ + l_, C)
-        tch = extract_windows(tables, wptr_v + l_, C)
-        neq = ~(rin & tin & (rch == tch))
-        anybad = jnp.any(neq, axis=1)
-        firstbad = jnp.argmax(neq, axis=1).astype(jnp.int32)
-        return anybad, jnp.where(anybad, firstbad, C)
-
-    anybad1, wlce = lce_round(wb, wcol, wptr_,
-                              jnp.zeros((W,), jnp.int32), LCE_CHUNK)
-
-    # survivors ARE the real MEM candidates (~1-2 per matching lane):
-    # the pool must cover them all, or reads silently lose their MEMs —
-    # so the pool scales with work_per_read (the aligner's retry loop
-    # doubles it) and overflow is COUNTED (ph2_dropped -> lce_dropped)
-    # instead of silently capping survivor lengths at LCE_CHUNK
-    W2 = max(min(work_per_read, 24) * B // 2, 256)
-    surv = wactive & ~anybad1
-    ph2_dropped = jnp.maximum(
-        jnp.sum(surv.astype(jnp.int32)) - W2, 0).astype(jnp.int32)
-    src2, act2 = _compact(surv, W2)
-    wb2, wcol2, wptr2 = wb[src2], wcol[src2], wptr_[src2]
-
-    def cond(state):
-        return jnp.any(state[1])
-
-    def body(state):
-        l, ext, r = state
-        anybad, add = lce_round(wb2, wcol2, wptr2, l, LCE_CHUNK2)
-        l = l + jnp.where(ext, add, 0)
-        return l, ext & ~anybad, r + 1
-
-    l2 = jnp.full((W2,), LCE_CHUNK, jnp.int32)
-    l2, _, _ = jax.lax.while_loop(cond, body, (l2, act2, 0))
-    wlce = jnp.concatenate([wlce, jnp.zeros((1,), jnp.int32)]).at[
-        jnp.where(act2, src2, W)].set(l2, mode="drop")[:W]
+    # Flat full-width LCE: every worklist lane resolved in one pass
+    # (see _lce_flat). The read end is a sentinel nibble and the text
+    # pad mismatches everything, so no separate rin/tin masks and no
+    # survivor phase are needed.
+    T = -(-M // 8)
+    rnib = _nib_read_rows(reads, read_lens)
+    wlce = _lce_flat(tables["text_nib8r"], rnib, wb, wcol, wptr_, T)
+    ph2_dropped = jnp.int32(0)
 
     # scatter LCEs back and propagate the shift identity
     lce_at = jnp.zeros((B * M + 1,), jnp.int32).at[
@@ -409,7 +394,21 @@ def lf_core_tables(index, d=None):
     return d
 
 
-TABLES_VERSION = 3   # bump when the prepared-table layout changes
+TABLES_VERSION = 4   # bump when the prepared-table layout changes
+
+
+def _nib_rows_host(tp):
+    """uint8 codes -> uint32[K, 8] nibble rows (64 chars per row, 8 per
+    word, LSB-first), padded so every _lce_flat gather of rows
+    g0..g0+3 stays in range (TEXT_PAD >= 256 chars guarantees it for
+    any wptr < n). 0.5 B/char — half the byte text."""
+    pad64 = (-tp.size) % 64
+    v = np.concatenate([tp, np.zeros(pad64, np.uint8)]).astype(
+        np.uint32).reshape(-1, 8)
+    w = v[:, 0]
+    for k in range(1, 8):
+        w = w | (v[:, k] << np.uint32(4 * k))
+    return np.ascontiguousarray(w.reshape(-1, 8))
 
 
 def prepare_tables_host(index):
@@ -456,6 +455,7 @@ def prepare_tables_host(index):
                          np.zeros(pad, np.uint8)])
     d["text"] = tp.view(np.int8)
     d["text_w32"] = tp.view("<u4")   # 4 chars per word
+    d["text_nib8r"] = _nib_rows_host(tp)
 
     # gather-minimal LF step: ONE fused 32-byte row per (run, char)
     # carrying run start/head, rank/threshold fields AND both threshold-
