@@ -180,37 +180,45 @@ def bench_pe(idx, lift, rng, n_pairs, batch, tables_cache=None):
     log(f"PE learn+compile: {time.time()-t0:.1f}s "
         f"(ins n={pal.ins.count} mean={pal.ins.mean:.0f} "
         f"std={pal.ins.std_dev:.1f})")
-    pal.align_pair_batch(b1[:batch], b2[:batch])  # warm align path
+    pal.complete_pair_batch_sam(
+        pal.submit_pair_batch(b1[:batch], b2[:batch]))  # warm align path
     t0 = time.time()
     done = aligned = acc_ok = acc_tot = 0
+    ref_id = list(idx.seq_names).index("ref")
+    truth_arr = np.asarray(truth, np.int64)   # [n_pairs, 2]
 
-    def account(recs, off):
+    def account(o, off):
         nonlocal done, aligned, acc_ok, acc_tot
-        B = len(recs) // 2
+        B = len(o["aligned"])
         done += B
-        for k in range(B):
-            r1, r2 = recs[2 * k], recs[2 * k + 1]   # interleaved m1,m2
-            if not ((r1.flag | r2.flag) & 4):
-                aligned += 1
-            o1, o2 = truth[off + k]
-            for r, o in ((r1, o1), (r2, o2)):
-                if r.flag & 4 or r.rname == "*":
-                    continue
-                acc_tot += 1
-                if r.rname == "ref" and abs((r.pos - 1) - o) <= ACC_TOL:
-                    acc_ok += 1
+        flag = o["flag"]
+        aligned += int((((flag[:B] | flag[B:]) & 4) == 0).sum())
+        t = truth_arr[off:off + B]              # [B, 2]
+        texp = np.concatenate([t[:, 0], t[:, 1]])
+        mapped = (flag & 4) == 0
+        ok = mapped & (o["rname"] == ref_id) & \
+            (np.abs((o["pos"] - 1) - texp) <= ACC_TOL)
+        acc_ok += int(ok.sum())
+        acc_tot += int(mapped.sum())
 
-    pending = None
-    for off in range(batch, n_pairs, batch):
-        c1, c2 = b1[off:off + batch], b2[off:off + batch]
-        if len(c1) < batch:
-            break
-        h = pal.submit_pair_batch(c1, c2)
-        if pending is not None:
-            account(pal.complete_pair_batch(pending[0]), pending[1])
-        pending = (h, off)
-    if pending is not None:
-        account(pal.complete_pair_batch(pending[0]), pending[1])
+    # 2-deep pipeline, same order as the SE loop: submit k+1, begin k
+    # (pull + PE plan + extz dispatch), finish k-1 (resolve + SAM)
+    from collections import deque
+    subq, begq = deque(), deque()
+    offs = [off for off in range(batch, n_pairs, batch)
+            if off + batch <= n_pairs]
+    for off in offs + [None, None]:
+        if off is not None:
+            subq.append((pal.submit_pair_batch(
+                b1[off:off + batch], b2[off:off + batch]), off))
+        draining = off is None
+        if len(subq) >= (2 if not draining else 1):
+            h, o_off = subq.popleft()
+            begq.append((pal.begin_complete_pair_sam(h), o_off))
+        if len(begq) >= (2 if not draining else 1):
+            st, o_off = begq.popleft()
+            sam, o = pal.finish_complete_pair_sam(st)
+            account(o, o_off)
     dt = time.time() - t0
     acc = acc_ok / max(acc_tot, 1)
     log(f"PE: {done} pairs in {dt:.2f}s -> {done/dt:.0f} pairs/s "
@@ -223,9 +231,11 @@ def bench_pe(idx, lift, rng, n_pairs, batch, tables_cache=None):
         idx, AlignConfig(engine="cpu", postseed_threads=ncpu),
         liftidx=lift))
     cpal.ins = pal.ins
-    cpal.align_pair_batch(b1[:256], b2[:256])      # warm
+    cpal.complete_pair_batch_sam(
+        cpal.submit_pair_batch(b1[:256], b2[:256]))      # warm
     t0 = time.time()
-    cpal.align_pair_batch(b1[:2048], b2[:2048])
+    cpal.complete_pair_batch_sam(
+        cpal.submit_pair_batch(b1[:2048], b2[:2048]))
     cpu_pps = 2048 / (time.time() - t0)
     log(f"PE CPU baseline ({ncpu} cores): {cpu_pps:.0f} pairs/s")
     return done / dt, acc, cpu_pps

@@ -1,21 +1,21 @@
 """Single-end aligner orchestration.
 
 TPU-native restructuring of the reference's per-read align loop
-(include/aligner/aligner_ksw2.hpp:328-521). Two post-seed paths:
+(include/aligner/aligner_ksw2.hpp:328-521):
 
-* postseed="native" (DEFAULT): the TPU runs the index-bound batched
-  stages — MS backward search, MEM extraction, Phi-walk occurrence
-  enumeration (under shard_map when a mesh is enabled) — and hands a
-  compact packed seed format to the C++ runtime (native/runtime.cpp),
-  which reproduces the reference's chaining/selection/piecewise-
-  extension/SAM semantics exactly (tests/test_parity_oracle.py).
-* postseed="device": everything through scoring stays on the TPU
-  (chain DP + fitting-alignment kernels in ops/), with host selection
-  and a native fitting finalize — faster to compile, approximate
-  scores (see ops/sw.py).
+The TPU runs the index-bound batched stages — MS backward search, MEM
+extraction, Phi-walk occurrence enumeration (under shard_map when a
+mesh is enabled) and the extension score pass (ops/extz.py via the
+plan/resolve split) — and hands a compact packed seed format to the
+C++ runtime (native/runtime.cpp), which reproduces the reference's
+chaining/selection/piecewise-extension/SAM semantics exactly
+(tests/test_parity_oracle.py). Winner traceback/finalize runs on the
+host over the banded-certified extz lane (native/extz_core.h).
 
 engine="cpu" swaps the TPU seed stage for the native CPU one
 (align/cpu.py) — the measured baseline and no-accelerator fallback.
+(The approximate all-on-TPU fitting path, postseed="device", was
+retired in round 4.)
 """
 
 from __future__ import annotations
@@ -31,14 +31,12 @@ import numpy as np
 from ..index.alphabet import (encode_seq, revcomp_codes, decode_seq,
                               encode_batch)
 from ..index.schema import MoniIndex
-from ..ops.ms import (extract_windows, find_mems_batch, prepare_tables,
-                      AUTO_WORK_PER_READ)
+from ..ops.ms import find_mems_batch, prepare_tables, AUTO_WORK_PER_READ
 from ..ops.occs import populate_seeds_batch
-from ..ops.chain import ChainConfig, find_chains_batch
-from ..ops.sw import SWParams, sw_fit_banded
-from .sam import (SamRecord, SAM_REVERSED, SAM_UNMAPPED, md_nm_from_ops,
+from ..ops.chain import ChainConfig
+from ..ops.sw import SWParams
+from .sam import (SamRecord, SAM_UNMAPPED, md_nm_from_ops,
                   cigar_ops_to_string, sam_header)
-from .mapq import compute_mapq_se_bwa
 from ..utils.timers import phase_timer
 
 MATE_1, MATE_2, MATE_F, MATE_RC = 0, 1, 0, 2
@@ -67,8 +65,7 @@ class AlignConfig:
     margin: int = 48
     # post-seed path: "native" = reference-faithful C++ runtime
     # (chain DP + check_k selection + piecewise extz fill_chain,
-    # native/runtime.cpp) fed by device seeds; "device" = all-on-TPU
-    # fitting-alignment path (approximate scores, fastest compile)
+    # native/runtime.cpp) fed by device seeds + device extz score pass
     postseed: str = "native"
     # seed-stage engine: "tpu" (JAX kernels) or "cpu" (native/cpuseeds
     # .cpp) — the CPU engine is the measured baseline and the fallback
@@ -85,84 +82,6 @@ class AlignConfig:
     postseed_threads: int = 8
     pack_seeds_per_read: int = 8     # seed-record transfer budget
     pack_occs_per_read: int = 48     # occurrence-pool transfer budget
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "B"))
-def _merge_filter_chain(tables, seeds, B, cfg: AlignConfig):
-    """Merge fwd/rc seed lanes per read, apply seed_freq_filter
-    (aligner_ksw2.hpp:1905-1933), chain."""
-    seeds = {k: jnp.concatenate([v[:B], v[B:]], axis=1)
-             for k, v in seeds.items()}
-    S = seeds["len"].shape[1]
-    mate = jnp.concatenate(
-        [jnp.full((B, S // 2), MATE_1 | MATE_F, jnp.int32),
-         jnp.full((B, S // 2), MATE_1 | MATE_RC, jnp.int32)], axis=1)
-
-    if cfg.filter_freq:
-        cnt = jnp.where(seeds["valid"], seeds["cnt"], 0)
-        total = jnp.maximum(jnp.sum(cnt, axis=1, keepdims=True), 1)
-        drop = cnt.astype(jnp.float32) > cfg.freq_thr * total.astype(
-            jnp.float32)
-        seeds["valid"] = seeds["valid"] & ~drop
-
-    return find_chains_batch(seeds, mate, cfg.chain, cfg.max_anchors)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _score_chains(tables, anchors, chains, fwd, rc, lens, cfg: AlignConfig):
-    """Fitting-alignment scores for the top chains of every read."""
-    B, M = fwd.shape
-    C = chains["score"].shape[1]
-    first = jnp.clip(chains["anchors"][:, :, 0], 0, cfg.max_anchors - 1)
-    fpos = jnp.take_along_axis(anchors["pos"], first, axis=1)
-    fidx = jnp.take_along_axis(anchors["idx"], first, axis=1)
-    n = tables["n"]
-    win_start = jnp.clip(fpos - fidx - cfg.margin, 0, n - 1)
-
-    # packed-word window extraction (text_w32, see ops.ms.extract_windows);
-    # the banded score kernel only needs read_pad + band columns
-    Wt = -(-(M + 2 * cfg.margin + 4) // 4) * 4
-    target = extract_windows(tables, win_start.reshape(-1),
-                             Wt).reshape(B, C, Wt)
-    tlen = jnp.clip(n - win_start, 0, Wt)
-
-    is_rc = (chains["mate"] & MATE_RC) != 0
-    query = jnp.where(is_rc[:, :, None], rc[:, None, :], fwd[:, None, :])
-
-    out = sw_fit_banded(query.reshape(B * C, M),
-                        jnp.repeat(lens, C),
-                        target.reshape(B * C, Wt),
-                        tlen.reshape(-1), cfg.sw, band_w=cfg.margin)
-    score = jnp.where(chains["valid"].reshape(-1), out["score"],
-                      jnp.int32(-(2**28))).reshape(B, C)
-    tend = out["tend"].reshape(B, C)
-    return {"chains": chains, "score": score, "tend": tend,
-            "win_start": win_start, "is_rc": is_rc}
-
-
-def _device_pipeline(tables, fwd, rc, lens, cfg: AlignConfig):
-    """Full device pipeline. Deliberately NOT one mega-jit: each stage is
-    its own jitted program (XLA compile time of the fused program is
-    prohibitive); intermediates stay on device between stages."""
-    B, M = fwd.shape
-    lanes = jnp.concatenate([fwd, rc], axis=0)
-    lens2 = jnp.concatenate([lens, lens], axis=0)
-    with phase_timer("  find_mems", sync=lambda: mems):
-        *mems, _ctr = find_mems_batch(tables, lanes, lens2,
-                                      max_mems=cfg.max_mems,
-                                      min_len=cfg.min_len,
-                                      work_per_read=cfg.lce_work or 96)
-    mp, ml, mi, mc = mems
-    with phase_timer("  seeds", sync=lambda: seeds):
-        seeds = populate_seeds_batch(tables, mp, ml, mi, mc,
-                                     max_occs=cfg.max_occs,
-                                     min_len=cfg.min_len)
-        seeds.pop("occ_capped", None)
-    with phase_timer("  chain", sync=lambda: chains):
-        anchors, chains = _merge_filter_chain(tables, seeds, B, cfg)
-    with phase_timer("  score", sync=lambda: out):
-        out = _score_chains(tables, anchors, chains, fwd, rc, lens, cfg)
-    return out
 
 
 def _host_finalize(index, query_codes, qlens, win_start, active,
@@ -291,11 +210,11 @@ class Aligner:
             from ..ops.occs import pack_seeds_wire
             if self.mesh is not None:
                 with phase_timer("device dispatch (sharded)"):
-                    seeds, wire = self._seed_stage_sharded(
+                    seeds, wire, lanes = self._seed_stage_sharded(
                         [fwd, rc], [lens, lens])
                 return dict(reads=reads, seeds=seeds, wire=wire,
-                            sharded=True, fwd=fwd, rc=rc, lens=lens,
-                            fcodes=fcodes, rcodes=rcodes)
+                            sharded=True, lanes=lanes, fwd=fwd, rc=rc,
+                            lens=lens, fcodes=fcodes, rcodes=rcodes)
             max_mems, work = self.seed_pools()
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
@@ -321,12 +240,10 @@ class Aligner:
                         lanes=lanes, fwd=fwd, rc=rc, lens=lens,
                         fcodes=fcodes, rcodes=rcodes)
 
-        with phase_timer("device dispatch"):
-            dev = _device_pipeline(self.tables, self.put_batch(fwd),
-                                   self.put_batch(rc),
-                                   self.put_batch(lens), cfg)
-        return dict(reads=reads, dev=dev, fwd=fwd, rc=rc, lens=lens,
-                    fcodes=fcodes, rcodes=rcodes)
+        raise ValueError(
+            f"unknown postseed path {cfg.postseed!r} (the approximate "
+            "all-on-TPU fitting path was retired in round 4 — the exact "
+            "device extz score pass covers its use case)")
 
     def postseed_config(self):
         """AlignConfig -> native post-seed runtime config. This is where
@@ -391,7 +308,16 @@ class Aligner:
             check_vma=False)
         args = [self.put_batch(a) for a in lane_arrays] + \
                [self.put_batch(l) for l in lane_lens]
-        return fn(self.tables, *args)
+        seeds, wire = fn(self.tables, *args)
+        # replicated lane matrix for the device extz score pass (the
+        # broker addresses queries by GLOBAL lane row); device-side
+        # reshard (ICI all-gather) of the already-uploaded shards —
+        # the lanes are tiny next to the index tables
+        from jax.sharding import NamedSharding
+        lanes_rep = jax.device_put(
+            jnp.concatenate(args[:n_lanes], axis=0),
+            NamedSharding(self.mesh, P()))
+        return seeds, wire, lanes_rep
 
     def _merge_sharded_pack(self, h, n_lanes=2):
         """Pull the shard-major wire segments (ONE transfer) and remap
@@ -514,10 +440,10 @@ class Aligner:
                 # pools, same shard layout — a pathological batch must
                 # not silently serialize onto one device
                 with phase_timer("device dispatch (pool retry, sharded)"):
-                    seeds, wire = self._seed_stage_sharded(
+                    seeds, wire, lanes = self._seed_stage_sharded(
                         arrays, lens, max_mems=max_mems, work=work)
                 h = dict(h)
-                h["seeds"], h["wire"] = seeds, wire
+                h["seeds"], h["wire"], h["lanes"] = seeds, wire, lanes
                 packed, c = self._merge_sharded_pack(h, n_lanes)
                 if c[0] == 0 and c[1] == 0:
                     break
@@ -547,9 +473,13 @@ class Aligner:
                 break
         # sticky: later batches dispatch with the converged pools
         # directly — a workload that needs bigger pools pays the
-        # synchronous retry round-trip once, not per batch
-        self._pool_work = max(self._pool_work or 0, work)
-        self._pool_mems = max(self._pool_mems or 0, max_mems)
+        # synchronous retry round-trip once, not per batch. Only
+        # persist sizes that actually converged (counters cleared);
+        # an exhausted retry must not pin insufficient-but-huge pools
+        # on a long-lived Aligner (ADVICE r3).
+        if c[0] == 0 and c[1] == 0:
+            self._pool_work = max(self._pool_work or 0, work)
+            self._pool_mems = max(self._pool_mems or 0, max_mems)
         return h, packed
 
     def _extz_runner_kwargs(self, h):
@@ -557,7 +487,11 @@ class Aligner:
         plan/resolve split): active on the TPU engine with the read
         lanes still device-resident. {} -> host extz."""
         if not (self.cfg.device_extz and "lanes" in h):
+            self.stats["extz_host_batches"] = (
+                self.stats.get("extz_host_batches", 0) + 1)
             return {}
+        self.stats["extz_device_batches"] = (
+            self.stats.get("extz_device_batches", 0) + 1)
         from ..ops.extz import (dispatch_extz_jobs, collect_extz_jobs,
                                 job_caps)
         cfg = self.cfg
@@ -598,8 +532,8 @@ class Aligner:
         fallback when the pack budget overflowed), run the C++ runtime."""
         from .postseed import postseed_se
         h, packed = self._pull_seeds(h)
-        runner_kw = self._extz_runner_kwargs(h) if "packed_host" not in h \
-            and not h.get("sharded") else {}
+        runner_kw = self._extz_runner_kwargs(h) \
+            if "packed_host" not in h else {}
         with phase_timer("native postseed"):
             records, skipped = postseed_se(
                 self.index, packed, h["fwd"], h["rc"], h["lens"],
@@ -622,8 +556,8 @@ class Aligner:
         if not ("seeds" in h or "packed_host" in h):
             raise ValueError("complete_batch_sam requires the native path")
         h, packed = self._pull_seeds(h)
-        runner_kw = self._extz_runner_kwargs(h) if "packed_host" not in h \
-            and not h.get("sharded") else {}
+        runner_kw = self._extz_runner_kwargs(h) \
+            if "packed_host" not in h else {}
         with phase_timer("native plan+dispatch"):
             st = postseed_se_begin(
                 self.index, packed, h["fwd"], h["rc"], h["lens"],
@@ -655,123 +589,12 @@ class Aligner:
         return self.finish_complete_sam(self.begin_complete_sam(h))
 
     def complete_batch(self, h):
-        """Transfer device results, select, finalize, assemble SAM."""
-        if "seeds" in h or "packed_host" in h:
-            return self._complete_native(h)
-        cfg = self.cfg
-        reads, dev = h["reads"], h["dev"]
-        fwd, rc, lens = h["fwd"], h["rc"], h["lens"]
-        fcodes, rcodes = h["fcodes"], h["rcodes"]
-        B, M = fwd.shape
-        with phase_timer("device wait"):
-            score = np.asarray(dev["score"])
-        tend = np.asarray(dev["tend"])
-        win_start = np.asarray(dev["win_start"])
-        is_rc = np.asarray(dev["is_rc"])
-        cvalid = np.asarray(dev["chains"]["valid"])
-
-        # ---- host selection (get_best_scores / check_max_score) ----
-        with phase_timer("selection"):
-            sel = self._select(B, score, tend, win_start, cvalid, lens, cfg)
-
-        # ---- finalize winners on host (native C++) ----
-        win_lane = np.zeros(B, np.int32)
-        win_query = np.zeros((B, M), np.int8)
-        win_ws = np.zeros(B, np.int32)
-        win_tend = np.zeros(B, np.int32)
-        win_score = np.zeros(B, np.int32)
-        mapped = np.zeros(B, bool)
-        for b, (best, _, min_score) in enumerate(sel):
-            if best and best[0][0] >= min_score:
-                c = best[0][2]
-                mapped[b] = True
-                win_lane[b] = c
-                win_ws[b] = win_start[b, c]
-                win_tend[b] = tend[b, c]
-                win_score[b] = score[b, c]
-                win_query[b] = rc[b] if is_rc[b, c] else fwd[b]
-
-        with phase_timer("native finalize"):
-            fin, _ = _host_finalize(self.index, win_query, lens, win_ws,
-                                    mapped, cfg, tends=win_tend,
-                                    expected=win_score)
-        fscore = fin["score"]
-
-        # ---- SAM assembly ----
-        t_sam = phase_timer("sam assembly")
-        t_sam.__enter__()
-        records = []
-        for b, (name, seq, qual) in enumerate(reads):
-            rec = SamRecord(qname=name, seq=seq,
-                            qual=qual if qual else "*")
-            best, alt, min_score = sel[b]
-            self.stats["processed"] += 1
-            if not mapped[b] or fscore[b] < min_score:
-                rec.flag = SAM_UNMAPPED
-                records.append(rec)
-                continue
-            self.stats["aligned"] += 1
-            c = int(win_lane[b])
-            ops = fin["ops"][b]
-            pos_global = int(win_ws[b]) + int(fin["tstart"][b])
-            reverse = bool(is_rc[b, c])
-            codes = rcodes[b] if reverse else fcodes[b]
-            score2 = best[1][0] if len(best) > 1 else 0
-            sub_n = len(best) - 1
-            rec.flag = SAM_REVERSED if reverse else 0
-            self.set_alignment_fields(rec, pos_global, ops, fin["md"][b],
-                                      int(fin["nm"][b]),
-                                      int(fin["rlen"][b]), codes)
-            rec.mapq = compute_mapq_se_bwa(
-                fscore[b], score2, rec.rlen or rec.lift_rlen, int(lens[b]),
-                cfg.min_len, cfg.sw.smatch, cfg.sw.smismatch, sub_n=sub_n)
-            rec.asc = int(fscore[b])
-            rec.zs = score2
-            if reverse:
-                rec.seq = decode_seq(codes)
-                rec.qual = qual[::-1] if qual else "*"
-            for h, p, sc in alt:
-                rec.alt_haplotypes.append(h)
-                rec.alt_pos.append(p)
-                rec.alt_scores.append(sc)
-            records.append(rec)
-        t_sam.__exit__(None, None, None)
-        return records
-
-    def _select(self, B, score, tend, win_start, cvalid, lens, cfg):
-        """Per-read best-chain selection: region dedup + best/second best
-        + AA ties (get_best_scores / check_max_score semantics)."""
-        sel = []
-        self.last_chains_skipped = [0] * B   # csv_t.num_chains_skipped
-        for b in range(B):
-            order = np.argsort(-score[b], kind="stable")
-            min_score = int(20 + 8 * math.log(max(int(lens[b]), 2)))
-            regions = []       # (lifted end position, score)
-            best = []          # (score, endpos, chain)
-            max_sc = 0
-            alt = []
-            for c in order:
-                c = int(c)
-                if not cvalid[b, c] or score[b, c] <= -(2**27):
-                    continue
-                sc = int(score[b, c])
-                endpos = int(win_start[b, c]) + int(tend[b, c])
-                lifted = self.lift(endpos)
-                if sc > max_sc:
-                    max_sc = sc
-                    alt = []
-                elif sc == max_sc and sc > 0:
-                    name, off = self.pos_to_ref(int(win_start[b, c]))
-                    alt.append((name, off + 1, sc))
-                if any(abs(r - lifted) < cfg.region_dist for r, _ in regions):
-                    self.last_chains_skipped[b] += 1
-                    continue
-                regions.append((lifted, sc))
-                best.append((sc, endpos, c))
-                if len(best) >= cfg.check_k:
-                    break
-            sel.append((best, alt, min_score))
-        return sel
+        """Transfer device results, run the native post-seed, return
+        SamRecords."""
+        if not ("seeds" in h or "packed_host" in h):
+            raise ValueError("unknown handle: submit_batch produces only "
+                             "native-path handles")
+        return self._complete_native(h)
 
     # ------------------------------------------------------------------
     # opt-in modes: --report_mems and --csv (see align/memreport.py)

@@ -582,44 +582,33 @@ def postseed_se(index, seeds, fwd, rc, lens, reads, cfg: PostseedConfig,
     return records, o["chains_skipped"]
 
 
-def postseed_pe(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
-                batch1, batch2, cfg: PostseedConfig, liftidx=None,
-                filter_dir=True, dir_thr=50.0, find_orphan=True,
-                ins_mean=0.0, ins_std=0.0, finalize=True,
-                learn_gap_thr=0):
-    """Run the native PE post-seed pipeline for one batch.
+def _configure_pe_split(lib):
+    """plan/resolve argtypes for the PE device-extz split (the PE
+    mirror of _plan_and_dispatch; handles are SeHandle so the job dump
+    and free entries are shared with SE)."""
+    if getattr(lib, "_postseed_pe_split_configured", False):
+        return lib
+    c = ctypes
+    pe_head = ([c.c_void_p, c.c_int64, c.c_void_p, c.c_int32]
+               + [c.c_void_p] * 4 + [c.c_int64]
+               + [c.c_void_p] * 6 + [c.c_int64] * 2)
+    seed = [c.c_void_p] * 7 + [c.c_int64] * 3
+    lib.monitpu_postseed_pe_plan.restype = c.c_int64
+    lib.monitpu_postseed_pe_plan.argtypes = (
+        pe_head + seed + [c.POINTER(PeParams)] + [c.c_int32] * 2
+        + [c.c_void_p])
+    lib.monitpu_postseed_pe_resolve.restype = c.c_int
+    lib.monitpu_postseed_pe_resolve.argtypes = (
+        [c.c_void_p] + pe_head + [c.POINTER(PeParams)]
+        + [c.c_void_p] * 3 + [c.c_void_p] * 32)
+    lib._postseed_pe_split_configured = True
+    return lib
 
-    seeds: packed (ops/occs.pack_seeds with 'S') or dense 4-lane arrays
-    ([4B, S, O]; rows [m1F, m2RC, m2F, m1RC] x B). With finalize=False
-    only the learning outputs are meaningful (learn_ok/learn_dist per
-    pair, the learn_fragment_model gate of aligner_ksw2.hpp:816-885).
-    Returns (records_m1, records_m2, info dict)."""
-    lib = _configure_pe(_configure(_load()))
-    B, M = m1f.shape
-    packed = _pack_for_native(seeds)
-    S = int(packed["S"])
-    K = S // 3
-    n_seeds = min(int(np.ravel(packed["n_valid"])[0]),
-                  packed["row"].shape[0])
 
-    text = np.ascontiguousarray(index.text, np.int8)
-    seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
-    nseq = len(index.seq_names)
-    lhs, lrs, lins, lse = flatten_liftidx(liftidx)
-
-    p = PeParams()
-    p.se = _params(cfg)
-    p.dir_thr = dir_thr
-    p.ins_mean = ins_mean
-    p.ins_std = ins_std
-    p.filter_dir = int(filter_dir)
-    p.find_orphan = int(find_orphan)
-    p.finalize = int(finalize)
-    p.learn_gap_thr = learn_gap_thr
-
+def _pe_out(B, cfg):
     CC, MC, AC = cfg.cigar_cap, cfg.md_cap, cfg.alt_cap
     R = 2 * B
-    o = {
+    return {
         "flag": np.zeros(R, np.int32), "rname": np.full(R, -1, np.int32),
         "pos": np.zeros(R, np.int64), "as": np.zeros(R, np.int32),
         "zs": np.zeros(R, np.int32), "nm": np.zeros(R, np.int32),
@@ -650,36 +639,133 @@ def postseed_pe(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
         "learn_ok": np.zeros(B, np.uint8),
         "learn_dist": np.zeros(B, np.int64),
     }
+
+
+def _pe_out_ptrs(o):
+    return [_PTR(o[k]) for k in (
+        "flag", "rname", "pos", "as", "zs", "nm", "rlen", "cigar",
+        "ncigar", "md", "lift_rname", "lift_pos", "lift_cigar",
+        "lift_ncigar", "lift_md", "lift_nm", "lift_rlen", "unmapped_lft",
+        "alt_rname", "alt_pos", "alt_score", "nalt", "chains_skipped",
+        "mapq", "pnext", "tlen", "strand", "aligned", "chained",
+        "orphan_rec", "learn_ok", "learn_dist")]
+
+
+def _pe_prep(index, seeds, m1f, m1r, m2f, m2r, len1, len2, cfg, liftidx,
+             filter_dir, dir_thr, find_orphan, ins_mean, ins_std,
+             finalize, learn_gap_thr):
+    lib = _configure_pe_split(_configure_pe(_configure(_load())))
+    B, M = m1f.shape
+    packed = _pack_for_native(seeds)
+    S = int(packed["S"])
+    K = S // 3
+    n_seeds = min(int(np.ravel(packed["n_valid"])[0]),
+                  packed["row"].shape[0])
+
+    text = np.ascontiguousarray(index.text, np.int8)
+    seq_starts = np.ascontiguousarray(index.seq_starts, np.int64)
+    nseq = len(index.seq_names)
+    lhs, lrs, lins, lse = flatten_liftidx(liftidx)
+
+    p = PeParams()
+    p.se = _params(cfg)
+    p.dir_thr = dir_thr
+    p.ins_mean = ins_mean
+    p.ins_std = ins_std
+    p.filter_dir = int(filter_dir)
+    p.find_orphan = int(find_orphan)
+    p.finalize = int(finalize)
+    p.learn_gap_thr = learn_gap_thr
+
+    o = _pe_out(B, cfg)
     m1f8 = np.ascontiguousarray(m1f, np.int8)
     m1r8 = np.ascontiguousarray(m1r, np.int8)
     m2f8 = np.ascontiguousarray(m2f, np.int8)
     m2r8 = np.ascontiguousarray(m2r, np.int8)
     l1 = np.ascontiguousarray(len1, np.int32)
     l2 = np.ascontiguousarray(len2, np.int32)
-    ptr = lambda a: a.ctypes.data
-    rcode = lib.monitpu_postseed_pe(
+    ptr = _PTR
+    common_head = [
         ptr(text), ctypes.c_int64(text.size), ptr(seq_starts),
         ctypes.c_int32(nseq),
         ptr(lhs), ptr(lrs), ptr(lins), ptr(lse), ctypes.c_int64(lhs.size),
         ptr(m1f8), ptr(m1r8), ptr(m2f8), ptr(m2r8), ptr(l1), ptr(l2),
-        ctypes.c_int64(B), ctypes.c_int64(M),
+        ctypes.c_int64(B), ctypes.c_int64(M)]
+    seed_args = [
         ptr(packed["row"]), ptr(packed["slot"]), ptr(packed["len"]),
         ptr(packed["idx"]), ptr(packed["cnt"]), ptr(packed["off"]),
         ptr(packed["occ"]),
-        ctypes.c_int64(n_seeds), ctypes.c_int64(S), ctypes.c_int64(K),
-        ctypes.byref(p),
-        ptr(o["flag"]), ptr(o["rname"]), ptr(o["pos"]), ptr(o["as"]),
-        ptr(o["zs"]), ptr(o["nm"]), ptr(o["rlen"]), ptr(o["cigar"]),
-        ptr(o["ncigar"]), ptr(o["md"]), ptr(o["lift_rname"]),
-        ptr(o["lift_pos"]), ptr(o["lift_cigar"]), ptr(o["lift_ncigar"]),
-        ptr(o["lift_md"]), ptr(o["lift_nm"]), ptr(o["lift_rlen"]),
-        ptr(o["unmapped_lft"]), ptr(o["alt_rname"]), ptr(o["alt_pos"]),
-        ptr(o["alt_score"]), ptr(o["nalt"]), ptr(o["chains_skipped"]),
-        ptr(o["mapq"]), ptr(o["pnext"]), ptr(o["tlen"]), ptr(o["strand"]),
-        ptr(o["aligned"]), ptr(o["chained"]), ptr(o["orphan_rec"]),
-        ptr(o["learn_ok"]), ptr(o["learn_dist"]))
+        ctypes.c_int64(n_seeds), ctypes.c_int64(S), ctypes.c_int64(K)]
+    keep = (text, seq_starts, lhs, lrs, lins, lse, m1f8, m1r8, m2f8,
+            m2r8, l1, l2, packed)
+    return lib, common_head, seed_args, p, o, keep
+
+
+def postseed_pe_begin(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
+                      cfg: PostseedConfig, liftidx=None, filter_dir=True,
+                      dir_thr=50.0, find_orphan=True, ins_mean=0.0,
+                      ins_std=0.0, finalize=True, learn_gap_thr=0,
+                      extz_runner=None, q_cap=None, t_cap=None):
+    """Prep + plan + ASYNC device extz dispatch for one PE batch (the
+    PE mirror of postseed_se_begin). With extz_runner None the whole
+    monolithic native pipeline runs here (host extz)."""
+    lib, common_head, seed_args, p, o, keep = _pe_prep(
+        index, seeds, m1f, m1r, m2f, m2r, len1, len2, cfg, liftidx,
+        filter_dir, dir_thr, find_orphan, ins_mean, ins_std, finalize,
+        learn_gap_thr)
+    if extz_runner is None:
+        rcode = lib.monitpu_postseed_pe(
+            *common_head, *seed_args, ctypes.byref(p), *_pe_out_ptrs(o))
+        if rcode != 0:
+            raise RuntimeError(f"monitpu_postseed_pe rc={rcode}")
+        return {"o": o, "done": True}
+    ptr = _PTR
+    handle = ctypes.c_void_p()
+    n_jobs = lib.monitpu_postseed_pe_plan(
+        *common_head, *seed_args, ctypes.byref(p),
+        ctypes.c_int32(q_cap), ctypes.c_int32(t_cap),
+        ctypes.byref(handle))
+    jobs = {k: np.zeros(n_jobs, np.int32)
+            for k in ("qrow", "qoff", "qlen", "tlen")}
+    jobs["tpos"] = np.zeros(n_jobs, np.int64)
+    jobs["qrev"] = np.zeros(n_jobs, np.uint8)
+    jobs["trev"] = np.zeros(n_jobs, np.uint8)
+    lib.monitpu_postseed_se_jobs(
+        handle, ptr(jobs["qrow"]), ptr(jobs["qoff"]),
+        ptr(jobs["qlen"]), ptr(jobs["qrev"]), ptr(jobs["tpos"]),
+        ptr(jobs["tlen"]), ptr(jobs["trev"]))
+    dispatch, collect = extz_runner
+    fut = dispatch(jobs)
+    return dict(lib=lib, handle=handle, fut=fut, collect=collect,
+                common_head=common_head, p=p, o=o, keep=keep)
+
+
+def postseed_pe_finish(state):
+    """Resolve with the device scores -> raw PE output arrays."""
+    if state.get("done"):
+        return state["o"]
+    lib = state["lib"]
+    ptr = _PTR
+    try:
+        mqe, mqt, cor = state["collect"](state["fut"])
+        mqe = np.ascontiguousarray(mqe, np.int32)
+        mqt = np.ascontiguousarray(mqt, np.int32)
+        cor = np.ascontiguousarray(cor, np.int32)
+        rcode = lib.monitpu_postseed_pe_resolve(
+            state["handle"], *state["common_head"],
+            ctypes.byref(state["p"]), ptr(mqe), ptr(mqt), ptr(cor),
+            *_pe_out_ptrs(state["o"]))
+    finally:
+        lib.monitpu_postseed_se_free(state["handle"])
     if rcode != 0:
-        raise RuntimeError(f"monitpu_postseed_pe rc={rcode}")
+        raise RuntimeError(f"postseed_pe_resolve job mismatch (rc={rcode})")
+    return state["o"]
+
+
+def pe_records(index, o, m1r, m2r, len1, len2, batch1, batch2,
+               finalize=True):
+    """Build (records_m1, records_m2, info) from raw PE output arrays."""
+    B = len(batch1)
     info = {k: o[k] for k in ("aligned", "chained", "orphan_rec",
                               "learn_ok", "learn_dist")}
     if not finalize:
@@ -736,3 +822,93 @@ def postseed_pe(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
         recs1.append(build(b, qname, s1, q1, strand == 1))
         recs2.append(build(B + b, qname, s2, q2, strand == 0))
     return recs1, recs2, info
+
+
+def postseed_pe(index, seeds, m1f, m1r, m2f, m2r, len1, len2,
+                batch1, batch2, cfg: PostseedConfig, liftidx=None,
+                filter_dir=True, dir_thr=50.0, find_orphan=True,
+                ins_mean=0.0, ins_std=0.0, finalize=True,
+                learn_gap_thr=0, extz_runner=None, q_cap=None,
+                t_cap=None):
+    """Run the native PE post-seed pipeline for one batch.
+
+    seeds: packed (ops/occs.pack_seeds with 'S') or dense 4-lane arrays
+    ([4B, S, O]; rows [m1F, m2RC, m2F, m1RC] x B). With finalize=False
+    only the learning outputs are meaningful (learn_ok/learn_dist per
+    pair, the learn_fragment_model gate of aligner_ksw2.hpp:816-885).
+    extz_runner: (dispatch, collect) pair running the score-pass
+    extensions on device via the plan/resolve split; host extz
+    otherwise. Returns (records_m1, records_m2, info dict)."""
+    o = postseed_pe_finish(postseed_pe_begin(
+        index, seeds, m1f, m1r, m2f, m2r, len1, len2, cfg,
+        liftidx=liftidx, filter_dir=filter_dir, dir_thr=dir_thr,
+        find_orphan=find_orphan, ins_mean=ins_mean, ins_std=ins_std,
+        finalize=finalize, learn_gap_thr=learn_gap_thr,
+        extz_runner=extz_runner, q_cap=q_cap, t_cap=t_cap))
+    return pe_records(index, o, m1r, m2r, len1, len2, batch1, batch2,
+                      finalize=finalize)
+
+
+def _configure_fmt_pe(lib):
+    if getattr(lib, "_fmt_pe_configured", False):
+        return lib
+    c = ctypes
+    lib.monitpu_format_sam_pe.restype = c.c_int
+    lib.monitpu_format_sam_pe.argtypes = (
+        [c.c_int64] * 2 + [c.c_void_p] * 22 + [c.c_int32] * 3
+        + [c.c_void_p] * 5
+        + [c.c_char_p, c.c_void_p] * 6
+        + [c.c_int32]
+        + [c.c_void_p, c.c_int64, c.c_void_p])
+    lib._fmt_pe_configured = True
+    return lib
+
+
+def format_sam_pe(index, o, batch1, batch2, m1r, m2r, len1, len2,
+                  cfg: PostseedConfig):
+    """PE output arrays -> one interleaved (m1, m2) SAM text bytes
+    object, byte-identical to pe_records + write_sam_record."""
+    lib = _configure_fmt_pe(_configure(_load()))
+    B, M = m1r.shape
+    names = [n[:-2] if n.endswith(("/1", "/2")) else n
+             for n, _, _ in batch1]
+    qb, qo = _blob(names)
+    s1b, s1o = _blob([r[1] for r in batch1])
+    u1b, u1o = _blob([(r[2] or "") for r in batch1])
+    s2b, s2o = _blob([r[1] for r in batch2])
+    u2b, u2o = _blob([(r[2] or "") for r in batch2])
+    nb, no = _blob(list(index.seq_names))
+    m1r8 = np.ascontiguousarray(m1r, np.int8)
+    m2r8 = np.ascontiguousarray(m2r, np.int8)
+    l1 = np.ascontiguousarray(len1, np.int32)
+    l2 = np.ascontiguousarray(len2, np.int32)
+    cap = int(2 * len(qb) + 2 * (len(s1b) + len(s2b))
+              + 2 * (len(u1b) + len(u2b))
+              + int((o["md"] != 0).sum()) + int((o["lift_md"] != 0).sum())
+              + 12 * int(o["ncigar"].sum() + o["lift_ncigar"].sum())
+              + 40 * int(o["nalt"].sum()) + 256 * 2 * B
+              + (2 * B + 2) * len(nb))
+    buf = np.zeros(cap, np.uint8)
+    out_len = ctypes.c_int64(0)
+    ptr = _PTR
+    rcode = lib.monitpu_format_sam_pe(
+        ctypes.c_int64(B), ctypes.c_int64(M),
+        ptr(o["flag"]), ptr(o["rname"]), ptr(o["pos"]), ptr(o["mapq"]),
+        ptr(o["pnext"]), ptr(o["tlen"]), ptr(o["as"]), ptr(o["zs"]),
+        ptr(o["nm"]), ptr(o["cigar"]), ptr(o["ncigar"]), ptr(o["md"]),
+        ptr(o["lift_rname"]), ptr(o["lift_pos"]), ptr(o["lift_cigar"]),
+        ptr(o["lift_ncigar"]), ptr(o["lift_nm"]), ptr(o["unmapped_lft"]),
+        ptr(o["alt_rname"]), ptr(o["alt_pos"]), ptr(o["alt_score"]),
+        ptr(o["nalt"]),
+        ctypes.c_int32(cfg.alt_cap), ctypes.c_int32(cfg.cigar_cap),
+        ctypes.c_int32(cfg.md_cap),
+        ptr(o["strand"]), ptr(m1r8), ptr(m2r8), ptr(l1), ptr(l2),
+        ctypes.c_char_p(qb), ptr(qo),
+        ctypes.c_char_p(s1b), ptr(s1o), ctypes.c_char_p(u1b), ptr(u1o),
+        ctypes.c_char_p(s2b), ptr(s2o), ctypes.c_char_p(u2b), ptr(u2o),
+        ctypes.c_char_p(nb), ptr(no),
+        ctypes.c_int32(len(index.seq_names)),
+        ptr(buf), ctypes.c_int64(cap), ctypes.byref(out_len))
+    if rcode != 0:
+        raise RuntimeError("monitpu_format_sam_pe: buffer truncated")
+    return buf[:out_len.value].tobytes()

@@ -232,9 +232,36 @@ def cmd_align(args):
             for b1, b2 in batches:
                 yield pad_batch(b1), pad_batch(b2)
 
+        use_fast_pe = native and not csv_fd
+        pending = None   # (handle, batch_index, n_real_pairs)
+
+        def finish_pe(p):
+            nonlocal n
+            h, pbi, nreal = p
+            sam, _ = paligner.finish_complete_pair_sam(
+                paligner.begin_complete_pair_sam(h))
+            text = sam.decode()
+            lines = text.splitlines(keepends=True)
+            if 2 * nreal < len(lines):   # drop trailing __pad__ pairs
+                text = "".join(lines[:2 * nreal])
+            out.write(text)
+            out.flush()
+            checkpoint(pbi)
+            n += nreal
+            log(f"{n} pairs, {n/(time.time()-t0):.0f} pairs/s")
+
         for b1, b2 in pe_batches():
             bi += 1
             if bi <= skip_batches:
+                continue
+            if use_fast_pe:
+                # 1-deep pipeline: submit k, then finish k-1 (its seed
+                # kernels overlap the host work of the previous batch)
+                nreal = sum(1 for r in b1 if r[0] != "__pad__")
+                h = paligner.submit_pair_batch(b1, b2)
+                if pending is not None:
+                    finish_pe(pending)
+                pending = (h, bi, nreal)
                 continue
             recs = (paligner.report_mems_pair_batch(b1, b2) if report
                     else paligner.align_pair_batch(b1, b2))
@@ -249,6 +276,8 @@ def cmd_align(args):
             checkpoint(bi)
             n += len(b1)
             log(f"{n} pairs, {n/(time.time()-t0):.0f} pairs/s")
+        if pending is not None:
+            finish_pe(pending)
         log(f"done: {paligner.stats}")
     else:
         reads_file = args.mate1 or args.pattern
@@ -641,7 +670,7 @@ def main(argv=None):
                     help="disable the check_left_MEM chain heuristic")
     al.add_argument("-u", "--orphan-dis", action="store_true",
                     help="disable orphan recovery (paired-end)")
-    al.add_argument("--extend-path", choices=["native", "device"],
+    al.add_argument("--extend-path", choices=["native"],
                     default="native",
                     help="post-seed path: reference-faithful native "
                          "runtime (default) or all-on-TPU fitting path")

@@ -72,6 +72,30 @@ int monitpu_extz(const int8_t* q, int32_t qlen, const int8_t* t,
   return 0;
 }
 
+// Banded-with-certificate variant (extz_core.h extz_lane_banded),
+// exported for the fuzz test that pins it bit-exact against the full
+// lane (tests/test_swalign_native.py). `need`/`band0` as documented on
+// the kernel.
+int monitpu_extz_banded(const int8_t* q, int32_t qlen, const int8_t* t,
+                        int32_t tlen, int32_t smatch, int32_t smismatch,
+                        int32_t gapo, int32_t gape, int32_t flags,
+                        int32_t need, int32_t band0, int32_t* out_score,
+                        int32_t* out_mqe, int32_t* out_mqe_t,
+                        uint32_t* cigar, int32_t* n_cigar,
+                        int64_t cigar_cap) {
+  std::vector<int32_t> H, F;
+  std::vector<uint8_t> dirs;
+  ExtzOut out;
+  monitpu::extz_lane_banded(q, qlen, t, tlen, smatch, smismatch, gapo, gape,
+                            flags, need, band0, H, F, dirs, cigar, cigar_cap,
+                            &out);
+  *out_score = out.score;
+  *out_mqe = out.mqe;
+  *out_mqe_t = out.mqe_t;
+  if (n_cigar) *n_cigar = out.n_cigar;
+  return 0;
+}
+
 // Batched, threaded variant: L independent lanes with shared strides.
 // queries int8[L, qstride], targets int8[L, tstride]; per-lane flags.
 int monitpu_extz_batch(const int8_t* queries, const int32_t* qlens,

@@ -88,6 +88,9 @@ using monitpu::extz_lane;
 using monitpu::nscore;
 using monitpu::FLAG_SCORE_ONLY;
 using monitpu::FLAG_EXTZ_ONLY;
+using monitpu::NEED_MQE;
+using monitpu::NEED_CORNER;
+using monitpu::extz_lane_banded;
 
 constexpr int64_t NEG_INF = INT32_MIN;  // fill_chain invalid marker (:2998)
 
@@ -607,8 +610,12 @@ thread_local int64_t g_extz_calls = 0, g_extz_cells = 0;
 const bool g_rt_debug = getenv("MONITPU_RT_DEBUG") != nullptr;
 
 // One extz call with scratch reuse; returns ops decoded when traceback.
+// `need` (NEED_MQE / NEED_CORNER) names the output fields the caller
+// consumes: the banded DP certifies exactly those (and the traceback)
+// before skipping out-of-band cells — see extz_lane_banded.
 ExtzOut run_extz(const Ctx& c, Scratch& s, const int8_t* q, int32_t qlen,
-                 const int8_t* t, int32_t tlen, int32_t flags, Cigar* ops) {
+                 const int8_t* t, int32_t tlen, int32_t flags, Cigar* ops,
+                 int32_t need) {
   ++g_extz_calls;
   g_extz_cells += int64_t(qlen) * tlen;
   if (g_rt_debug && int64_t(qlen) * tlen > 1000000)
@@ -622,8 +629,9 @@ ExtzOut run_extz(const Ctx& c, Scratch& s, const int8_t* q, int32_t qlen,
     if ((int64_t)s.cig.size() < cap) s.cig.resize(cap);
     cig = s.cig.data();
   }
-  extz_lane(q, qlen, t, tlen, c.p->smatch, c.p->smismatch, c.p->gapo,
-            c.p->gape, flags, s.H, s.F, s.dirs, cig, cap, &out);
+  extz_lane_banded(q, qlen, t, tlen, c.p->smatch, c.p->smismatch, c.p->gapo,
+                   c.p->gape, flags, need, 12, s.H, s.F, s.dirs, cig, cap,
+                   &out);
   if (ops) {
     ops->clear();
     for (int32_t k = 0; k < out.n_cigar; ++k)
@@ -701,7 +709,7 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
       for (int64_t k = 0; k < lc_len; ++k)
         lc[k] = text[lc_occ + lc_len - 1 - k];
       ez_lc = run_extz(c, s, lcs, lcs_len, lc, int32_t(lc_len), flags,
-                       score_only ? nullptr : &lc_ops);
+                       score_only ? nullptr : &lc_ops, NEED_MQE);
       score_lc = ez_lc.mqe;
       have_lc = true;
     }
@@ -719,7 +727,7 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
       if (brokered) ++s.bk.host_jobs;
       ez_rc = run_extz(c, s, seq + rcs_off, rcs_len, text + rc_occ,
                        int32_t(rc_len), flags,
-                       score_only ? nullptr : &rc_ops);
+                       score_only ? nullptr : &rc_ops, NEED_MQE);
       score_rc = ez_rc.mqe;
       have_rc = true;
     }
@@ -779,7 +787,8 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
           ExtzOut ez = run_extz(c, s, seq + ccs_pos, int32_t(ccs_len),
                                 ref + cc_occ, int32_t(cc_len),
                                 score_only ? FLAG_SCORE_ONLY : 0,
-                                score_only ? nullptr : &gap_ops);
+                                score_only ? nullptr : &gap_ops,
+                                NEED_CORNER);
           ez_cc.push_back({ez.score, std::move(gap_ops)});
         }
       }
@@ -799,7 +808,7 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
   } else {
     if (brokered) ++s.bk.host_jobs;
     ExtzOut ez = run_extz(c, s, seq, slen, ref, int32_t(ref_len_clamped),
-                          FLAG_SCORE_ONLY, nullptr);
+                          FLAG_SCORE_ONLY, nullptr, NEED_CORNER);
     total = ez.score;
   }
 
@@ -812,8 +821,8 @@ void fill_chain(const Ctx& c, Scratch& s, const std::vector<Mem>& mems,
   Cigar cigar;
   if (realign) {
     Cigar ops;
-    ExtzOut ez =
-        run_extz(c, s, seq, slen, ref, int32_t(ref_len_clamped), 0, &ops);
+    ExtzOut ez = run_extz(c, s, seq, slen, ref,
+                          int32_t(ref_len_clamped), 0, &ops, NEED_CORNER);
     cigar = std::move(ops);
     out->score = ez.score;
   } else {
@@ -1529,6 +1538,10 @@ struct PeRead {
   const int8_t *m1f, *m1r, *m2f, *m2r;
   int32_t len1, len2;
   int64_t min1, min2, min_score;
+  // device lane rows of the 4 strand-applied reads (seed-stage layout
+  // [m1F, m2RC, m2F, m1RC] x B) — the extz broker addresses queries by
+  // lane row; unused in MODE_HOST
+  int64_t row1f = 0, row1r = 0, row2f = 0, row2r = 0;
 };
 
 void split_mates(const std::vector<Mem>& mems,
@@ -1576,7 +1589,9 @@ void pe_chain_score(const Ctx& c, const PeParams& pp, Scratch& s,
   int64_t lm, rm;
   split_mates(mems, anchors, ch, a1, a2, &lm, &rm);
   FillOut f1, f2;
+  s.bk.cur_qrow = int32_t(strand ? rd.row1r : rd.row1f);
   chain_score(c, s, mems, a1, mate1, rd.len1, rd.min1, score_only, &f1);
+  s.bk.cur_qrow = int32_t(strand ? rd.row2f : rd.row2r);
   chain_score(c, s, mems, a2, mate2, rd.len2, rd.min2, score_only, &f2);
   out->score.m1 = {f1.score, f1.pos, lift_pos(c, f1.pos), f1.unmapped_lft};
   out->score.m2 = {f2.score, f2.pos, lift_pos(c, f2.pos), f2.unmapped_lft};
@@ -1605,7 +1620,8 @@ void fill_orphan(const Ctx& c, Scratch& s, int64_t* start, int64_t* end,
     *end = *start + r.te;
     *start += r.tb;
     ExtzOut ez = run_extz(c, s, read, rlen, text + ref_occ + r.tb,
-                          r.te - r.tb + 1, FLAG_SCORE_ONLY, nullptr);
+                          r.te - r.tb + 1, FLAG_SCORE_ONLY, nullptr,
+                          NEED_CORNER);
     out->score = ez.score;
     out->pos = *start;
     if (!seq_valid(c, *start, *end - *start + 1)) out->score = NEG_INF;
@@ -1614,7 +1630,7 @@ void fill_orphan(const Ctx& c, Scratch& s, int64_t* start, int64_t* end,
   // finalize: global extz over the given (trimmed) window
   Cigar cig;
   ExtzOut ez = run_extz(c, s, read, rlen, text + ref_occ,
-                        int32_t(ref_len), 0, &cig);
+                        int32_t(ref_len), 0, &cig, NEED_CORNER);
   out->finalized = true;
   out->asc = ez.score;  // SAM AS (oracle: sam.asc = ez score, :2656)
   out->lift_cig = cig;
@@ -2140,18 +2156,63 @@ void align_one_pe(const Ctx& c, const PeParams& pp, Scratch& s,
                   const SeedArrays& sd, const int8_t* m1f,
                   const int8_t* m1r, const int8_t* m2f, const int8_t* m2r,
                   int32_t len1, int32_t len2, int64_t B, int64_t b,
-                  const PeOut& po) {
+                  const PeOut& po, int mode = MODE_HOST,
+                  ReadPlan* plan = nullptr) {
   const SeParams& p = pp.se;
   int32_t max_pen = std::max(p.smatch + p.smismatch, p.gapo + p.gape);
   PeRead rd{m1f,  m1r,  m2f, m2r, len1, len2,
             int64_t(20 + 8 * std::log(double(len1))),
             int64_t(20 + 8 * std::log(double(len2))), 0};
   rd.min_score = rd.min1 + rd.min2;
+  // seed-stage lane rows: [m1F, m2RC, m2F, m1RC] x B
+  rd.row1f = b;
+  rd.row2r = B + b;
+  rd.row2f = 2 * B + b;
+  rd.row1r = 3 * B + b;
 
   PeState st;
-  build_mems_pe(c, pp, sd, B, b, len1, len2, st.mems, s);
-  find_chains(st.mems, p, p.secondary != 0, st.anchors, st.chains,
-              s.dp);
+  if (mode == MODE_RESOLVE) {
+    st.mems = std::move(plan->mems);
+    st.anchors = std::move(plan->anchors);
+    st.chains = std::move(plan->chains);
+    s.bk.mode = MODE_RESOLVE;
+    s.bk.cursor = plan->job_off;
+    s.bk.end = plan->job_off + (int64_t)plan->jobs.size();
+  } else {
+    const bool prof = g_prof.on.load(std::memory_order_relaxed);
+    int64_t t0 = prof ? prof_now() : 0;
+    build_mems_pe(c, pp, sd, B, b, len1, len2, st.mems, s);
+    if (prof) {
+      int64_t t1 = prof_now();
+      g_prof.build_ns += t1 - t0;
+      g_prof.mems_n += (int64_t)st.mems.size();
+      t0 = t1;
+    }
+    find_chains(st.mems, p, p.secondary != 0, st.anchors, st.chains,
+                s.dp);
+    if (prof) {
+      g_prof.chain_ns += prof_now() - t0;
+      g_prof.anchors_n += (int64_t)st.anchors.size();
+      g_prof.chains_n += (int64_t)st.chains.size();
+    }
+  }
+  if (mode == MODE_PLAN) {
+    // record the score-pass extz jobs (the sequence of score-only
+    // calls made by pe_get_best_scores is score-independent: chain
+    // order and the left-MEM dedup depend only on chain-DP scores and
+    // positions); orphan recovery stays host-side in resolve — it
+    // runs only for the rare unaligned-but-chained pairs
+    if (!st.chains.empty()) {
+      s.bk.mode = MODE_PLAN;
+      s.bk.rec = &plan->jobs;
+      pe_get_best_scores(c, pp, s, st, rd, max_pen);
+      s.bk.mode = MODE_HOST;
+    }
+    plan->mems = std::move(st.mems);
+    plan->anchors = std::move(st.anchors);
+    plan->chains = std::move(st.chains);
+    return;  // no outputs in plan mode
+  }
   po.chained[b] = st.chains.empty() ? 0 : 1;
   po.aligned[b] = 0;
   po.orphan_rec[b] = 0;
@@ -2163,6 +2224,9 @@ void align_one_pe(const Ctx& c, const PeParams& pp, Scratch& s,
 
   if (!st.chains.empty()) {
     pe_get_best_scores(c, pp, s, st, rd, max_pen);
+    // the winner finalize + orphan recovery run host-side (banded
+    // extz); the broker's job stream is fully consumed above
+    s.bk.mode = MODE_HOST;
     if (st.best_scores[0].tot >= rd.min_score) {
       if (pp.finalize) {
         int32_t ci = st.best_scores[0].chain_i;
@@ -2474,6 +2538,130 @@ int monitpu_postseed_pe(
     for (auto& t : pool) t.join();
   }
   return 0;
+}
+
+// ---- PE device-extz split (plan -> device score -> resolve) ----
+// Mirrors the SE split: PLAN replays pe_get_best_scores with dummy
+// scores recording every score-only extz call; RESOLVE replays it
+// consuming the device (mqe, mqe_t, corner) stream, then finalizes the
+// winner (and any orphan recovery) host-side with banded extz. Handles
+// are SeHandle — share monitpu_postseed_se_jobs / _free.
+
+int64_t monitpu_postseed_pe_plan(
+    const int8_t* text, int64_t n, const int64_t* seq_starts, int32_t nseq,
+    const int64_t* lift_hs, const int64_t* lift_rs, const uint8_t* lift_ins,
+    const int64_t* lift_se, int64_t n_lift, const int8_t* m1f,
+    const int8_t* m1r, const int8_t* m2f, const int8_t* m2r,
+    const int32_t* len1, const int32_t* len2, int64_t B, int64_t M,
+    const int32_t* s_row, const int32_t* s_slot, const int32_t* s_len,
+    const int32_t* s_idx, const int32_t* s_cnt, const int32_t* s_off,
+    const int64_t* s_occ, int64_t n_seeds, int64_t S, int64_t K,
+    const PeParams* prm, int32_t q_cap, int32_t t_cap, void** out_handle) {
+  Ctx c{text,    n,        seq_starts, nseq,   lift_hs,
+        lift_rs, lift_ins, lift_se,    n_lift, &prm->se};
+  SeedArrays sd{s_row, s_slot, s_len, s_idx, s_cnt, s_off, s_occ,
+                n_seeds, S, K, {}, {}};
+  bucket_rows(sd, 4 * B);
+  auto* h = new SeHandle();
+  h->plans.resize(B);
+  h->q_cap = q_cap;
+  h->t_cap = t_cap;
+  int32_t n_threads = std::max(1, prm->se.n_threads);
+  PeOut dummy{};  // never written: plan mode returns before any store
+  auto work = [&](int64_t lo, int64_t hi) {
+    Scratch s;
+    s.bk.q_cap = q_cap;
+    s.bk.t_cap = t_cap;
+    for (int64_t b = lo; b < hi; ++b)
+      align_one_pe(c, *prm, s, sd, m1f + b * M, m1r + b * M, m2f + b * M,
+                   m2r + b * M, len1[b], len2[b], B, b, dummy, MODE_PLAN,
+                   &h->plans[b]);
+  };
+  if (n_threads == 1 || B <= 1) {
+    work(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(B, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+    for (auto& t : pool) t.join();
+  }
+  int64_t total = 0;
+  for (auto& pl : h->plans) total += (int64_t)pl.jobs.size();
+  if (g_prof.on.load(std::memory_order_relaxed)) g_prof.jobs_n += total;
+  h->alljobs.reserve(total);
+  for (auto& pl : h->plans) {
+    pl.job_off = (int64_t)h->alljobs.size();
+    h->alljobs.insert(h->alljobs.end(), pl.jobs.begin(), pl.jobs.end());
+  }
+  *out_handle = h;
+  return total;
+}
+
+int monitpu_postseed_pe_resolve(
+    void* handle, const int8_t* text, int64_t n, const int64_t* seq_starts,
+    int32_t nseq, const int64_t* lift_hs, const int64_t* lift_rs,
+    const uint8_t* lift_ins, const int64_t* lift_se, int64_t n_lift,
+    const int8_t* m1f, const int8_t* m1r, const int8_t* m2f,
+    const int8_t* m2r, const int32_t* len1, const int32_t* len2, int64_t B,
+    int64_t M, const PeParams* prm, const int32_t* j_mqe,
+    const int32_t* j_mqe_t, const int32_t* j_corner, int32_t* o_flag,
+    int32_t* o_rname, int64_t* o_pos, int32_t* o_as, int32_t* o_zs,
+    int32_t* o_nm, int32_t* o_rlen, uint32_t* o_cigar, int32_t* o_ncigar,
+    char* o_md, int32_t* o_lift_rname, int64_t* o_lift_pos,
+    uint32_t* o_lift_cigar, int32_t* o_lift_ncigar, char* o_lift_md,
+    int32_t* o_lift_nm, int32_t* o_lift_rlen, uint8_t* o_unmapped_lft,
+    int32_t* o_alt_rname, int64_t* o_alt_pos, int32_t* o_alt_score,
+    int32_t* o_nalt, int32_t* o_chains_skipped, int32_t* o_mapq,
+    int64_t* o_pnext, int64_t* o_tlen, int8_t* o_strand,
+    uint8_t* o_aligned, uint8_t* o_chained, uint8_t* o_orphan_rec,
+    uint8_t* o_learn_ok, int64_t* o_learn_dist) {
+  auto* h = (SeHandle*)handle;
+  Ctx c{text,    n,        seq_starts, nseq,   lift_hs,
+        lift_rs, lift_ins, lift_se,    n_lift, &prm->se};
+  SeedArrays sd{};  // unused in resolve (plans carry mems/chains)
+  SeOut se_out{o_flag,       o_rname,       o_pos,        o_as,
+               o_zs,         o_nm,          o_rlen,       o_cigar,
+               o_ncigar,     o_md,          o_lift_rname, o_lift_pos,
+               o_lift_cigar, o_lift_ncigar, o_lift_md,    o_lift_nm,
+               o_lift_rlen,  o_unmapped_lft, o_alt_rname, o_alt_pos,
+               o_alt_score,  o_nalt,        o_chains_skipped};
+  PeOut po{se_out,   o_mapq,    o_pnext,      o_tlen,     o_strand,
+           o_aligned, o_chained, o_orphan_rec, o_learn_ok, o_learn_dist};
+  int32_t n_threads = std::max(1, prm->se.n_threads);
+  std::vector<int64_t> mism(std::max(n_threads, 1), 0);
+  auto work = [&](int32_t ti, int64_t lo, int64_t hi) {
+    Scratch s;
+    s.bk.q_cap = h->q_cap;
+    s.bk.t_cap = h->t_cap;
+    s.bk.jobs = h->alljobs.data();
+    s.bk.mqe = j_mqe;
+    s.bk.mqe_t = j_mqe_t;
+    s.bk.corner = j_corner;
+    for (int64_t b = lo; b < hi; ++b)
+      align_one_pe(c, *prm, s, sd, m1f + b * M, m1r + b * M, m2f + b * M,
+                   m2r + b * M, len1[b], len2[b], B, b, po, MODE_RESOLVE,
+                   &h->plans[b]);
+    mism[ti] = s.bk.mismatch;
+  };
+  if (n_threads == 1 || B <= 1) {
+    work(0, 0, B);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(B, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, t, lo, hi);
+    }
+    for (auto& t : pool) t.join();
+  }
+  int64_t total_mism = 0;
+  for (int64_t m : mism) total_mism += m;
+  return total_mism > 0 ? 1 : 0;
 }
 
 }  // extern "C"

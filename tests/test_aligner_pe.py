@@ -11,11 +11,10 @@ from monitpu.align.sam import (SAM_UNMAPPED, SAM_PAIRED, SAM_MAPPED_PAIRED,
                                SAM_REVERSED, SAM_FIRST_IN_PAIR,
                                SAM_SECOND_IN_PAIR)
 
-# these tests pin the all-on-TPU fitting path (postseed="device") with
-# its online insert learning; the native path has its own parity suite
-# (test_parity_pe.py)
+# behavioral PE checks on the production native path (field-level
+# reference parity lives in test_parity_pe.py)
 CFG = AlignConfig(
-    min_len=15, postseed="device",
+    min_len=15,
     max_mems=6, max_occs=8, max_anchors=96,
     read_pad=64, window=160, margin=24,
     chain=ChainConfig(min_chain_score=12, max_chains=4, max_chain_len=16),
@@ -87,7 +86,7 @@ def test_pe_insert_learning(pe_setup):
             s1, s2, *_ = sample_pair(rng, seqs)
             b1.append((f"x{i}/1", s1, None))
             b2.append((f"x{i}/2", s2, None))
-        pal.align_pair_batch(b1, b2)
+        pal.learn_pair_batch(b1, b2)
     assert pal.ins.count >= 20
     # true insert-size distance distribution: dist = |p2 - (p1 + L)|
     # = tlen - 2L in [160-15-100, 160+15-100] = [45, 75]

@@ -63,6 +63,10 @@ def test_sharded_seed_stage_parity(setup):
     mesh = sharded.enable_mesh(8)
     assert mesh.devices.size == 8
     recs = sharded.align_batch(reads)
+    # the device extz score pass must serve the sharded config too
+    # (VERDICT r3 item 2): the stat counter records which path ran
+    assert sharded.stats.get("extz_device_batches", 0) >= 1
+    assert sharded.stats.get("extz_host_batches", 0) == 0
     diffs = [(s.qname, f, getattr(s, f), getattr(m, f))
              for s, m in zip(single, recs) for f in FIELDS
              if getattr(s, f) != getattr(m, f)]

@@ -71,3 +71,38 @@ def test_sam_fastpath_split_phases(rng):
     p = al.begin_complete_sam(al.submit_batch(reads))
     sam2, _ = al.finish_complete_sam(p)
     assert sam1 == sam2
+
+
+def test_sam_fastpath_pe_byte_identity(rng):
+    """PE fast path (monitpu_format_sam_pe) == pe_records +
+    write_sam_record, byte-exact, incl. proper pairs, orphan windows,
+    unmapped mates (GATK convention), flips and missing quals."""
+    from monitpu.align.paired import PairedAligner
+    idx, _ = _mk(rng)
+    text = np.asarray(idx.text)
+    b1, b2 = [], []
+    L = 100
+    for i in range(96):
+        s = int(rng.integers(0, idx.n - 420))
+        ins = int(rng.integers(260, 340))
+        frag = text[s:s + ins]
+        m1 = frag[:L].copy()
+        m2 = revcomp_codes(frag[-L:].copy().astype(np.int8))
+        m1[rng.integers(0, L, 2)] = rng.integers(1, 5, 2)
+        if i % 13 == 0:      # junk mate2 -> orphan / unmapped-mate path
+            m2 = rng.integers(1, 5, L).astype(np.int8)
+        if i % 19 == 0:      # junk both -> fully unmapped pair
+            m1 = rng.integers(1, 5, L).astype(np.int8)
+        qual = "I" * L if i % 3 else None
+        b1.append((f"p{i}/1", decode_seq(m1.astype(np.int8)), qual))
+        b2.append((f"p{i}/2", decode_seq(m2), qual))
+    pal = PairedAligner(Aligner(idx, AlignConfig()))
+    pal.learn_pair_batch(b1, b2)
+    recs = pal.align_pair_batch(b1, b2)
+    buf = io.StringIO()
+    for r in recs:
+        write_sam_record(buf, r)
+    want = buf.getvalue().encode()
+    sam, o = pal.complete_pair_batch_sam(pal.submit_pair_batch(b1, b2))
+    assert sam == want
+    assert int(o["aligned"].sum()) >= 80

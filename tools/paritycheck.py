@@ -1,6 +1,6 @@
 """Measure device-pipeline vs oracle SAM-field agreement on synthetic reads.
 
-Usage: python tools/paritycheck.py [n_reads] [--indel] [--pe] [--device]
+Usage: python tools/paritycheck.py [n_reads] [--indel] [--pe]
 Prints per-field agreement rates and sample disagreements.
 """
 import os
@@ -19,7 +19,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 MUT = 2
 INDEL = "--indel" in sys.argv
 PE = "--pe" in sys.argv
-POSTSEED = "device" if "--device" in sys.argv else "native"
+POSTSEED = "native"
 
 rng = np.random.default_rng(7)
 base = rng.integers(1, 5, size=200_000, dtype=np.int8)
