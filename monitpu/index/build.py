@@ -97,6 +97,38 @@ def lcp_kasai(t: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+def _seg_first_argmin(lcp64: np.ndarray, lo: np.ndarray,
+                      hi: np.ndarray) -> np.ndarray:
+    """First argmin row of lcp64 within each segment [lo_k, hi_k).
+
+    Native zero-allocation loop when libmonitpu is available; NumPy
+    composite-key fallback otherwise (fallback builds are small-text
+    only — the same environments that fall back from native SA-IS)."""
+    out = np.empty(lo.size, dtype=np.int64)
+    lo = np.ascontiguousarray(lo, np.int64)
+    hi = np.ascontiguousarray(hi, np.int64)
+    try:
+        import ctypes  # noqa: PLC0415
+        from ..native.sais import _load  # noqa: PLC0415
+        lib = _load()
+        lib.monitpu_seg_first_argmin_64.restype = ctypes.c_int
+        rc = lib.monitpu_seg_first_argmin_64(
+            ctypes.c_void_p(lcp64.ctypes.data), ctypes.c_int64(lcp64.size),
+            ctypes.c_void_p(lo.ctypes.data), ctypes.c_void_p(hi.ctypes.data),
+            ctypes.c_int64(lo.size), ctypes.c_void_p(out.ctypes.data))
+        if rc != 0:
+            raise ValueError("bad segment bounds")
+        return out
+    except Exception:
+        n = lcp64.size
+        assert n < 3_000_000_000, "numpy fallback needs n^2 < 2^63"
+        comp = lcp64 * np.int64(n) + np.arange(n, dtype=np.int64)
+        comp_ext = np.concatenate([comp, [np.iinfo(np.int64).max]])
+        bounds = np.empty(2 * lo.size, dtype=np.int64)
+        bounds[0::2], bounds[1::2] = lo, hi
+        return np.minimum.reduceat(comp_ext, bounds)[0::2] % n
+
+
 # ----------------------------------------------------------------------
 # Full index build
 # ----------------------------------------------------------------------
@@ -119,10 +151,9 @@ def build_index(seqs, names=None, already_encoded: bool = False,
     n = text.size
     # n >= 2^31: int64 tables throughout (SA-IS/Kasai switch too) — the
     # reference swaps to 64-bit pfp_thresholds binaries at the same
-    # boundary (/root/reference/pipeline/moni.in:195-204). The one hard
-    # ceiling left is the threshold segment-min composite key lcp*n+i.
-    assert n < 3_000_000_000, "threshold composite key needs n^2 < 2^63"
-
+    # boundary (/root/reference/pipeline/moni.in:195-204). No composite
+    # key is involved anywhere (thresholds use a native segmented
+    # argmin), so the build is bounded by RAM only.
     sa = suffix_array(text)
     return build_index_from_sa(text, sa, np.asarray(starts, dtype=np.int64),
                                list(names), force_wide=force_wide)
@@ -187,10 +218,10 @@ def build_index_from_sa(text, sa, seq_starts, seq_names,
         csamples_last[c, : ids.size] = samples_last[ids]
 
     # thresholds: per char, first argmin of LCP in (end_k, start_{k+1}]
-    # composite key lcp*n + row: segment-min decodes to the first argmin row.
+    # via a native segmented argmin (O(covered rows), no temporaries,
+    # no overflow — the former lcp*n+i composite key needed n^2 < 2^63
+    # and materialized two n-sized int64 arrays)
     lcp64 = lcp.astype(np.int64)
-    comp = lcp64 * np.int64(n) + np.arange(n, dtype=np.int64)
-    comp_ext = np.concatenate([comp, [np.iinfo(np.int64).max]])
     thr_cnt_run = np.zeros((r, SIGMA), dtype=idt)
     # "no threshold" sentinel: larger than any position in this dtype
     thr_pos_run = np.full((r, SIGMA), np.iinfo(idt).max - 1, dtype=idt)
@@ -201,9 +232,7 @@ def build_index_from_sa(text, sa, seq_starts, seq_names,
             continue
         lo = run_ends[ids[:-1]] + 1                     # first row in (e, s]
         hi = rs64[ids[1:]] + 1                          # exclusive end
-        bounds = np.empty(2 * lo.size, dtype=np.int64)
-        bounds[0::2], bounds[1::2] = lo, hi
-        pos_c = np.minimum.reduceat(comp_ext, bounds)[0::2] % n  # sorted
+        pos_c = _seg_first_argmin(lcp64, lo, hi)        # sorted
         thr_cnt_run[:, c] = np.searchsorted(pos_c, rs64, side="left")
         # the (unique) c-threshold inside run j, if any: thresholds of char c
         # are separated by a c-run, so each run owns at most one.

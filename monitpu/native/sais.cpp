@@ -211,4 +211,27 @@ int monitpu_kasai_u8(const uint8_t* s, const int32_t* sa, int64_t n,
   return 0;
 }
 
+// First argmin of lcp over row segments [lo_k, hi_k): the threshold
+// position extractor (one threshold per consecutive same-char run
+// pair). Replaces the lcp*n+i composite-key trick, which (a) needs
+// n^2 < 2^63 and (b) materializes two n-sized int64 temporaries —
+// this is O(total covered rows) with zero allocation, so the build's
+// ceiling is RAM, not the key width (VERDICT r3 item 4).
+int monitpu_seg_first_argmin_64(const int64_t* lcp, int64_t n,
+                                const int64_t* lo, const int64_t* hi,
+                                int64_t nseg, int64_t* out_pos) {
+  for (int64_t k = 0; k < nseg; ++k) {
+    int64_t a = lo[k], b = hi[k];
+    if (a < 0 || b > n || a >= b) return 1;
+    int64_t best = lcp[a], pos = a;
+    for (int64_t i = a + 1; i < b; ++i)
+      if (lcp[i] < best) {
+        best = lcp[i];
+        pos = i;
+      }
+    out_pos[k] = pos;
+  }
+  return 0;
+}
+
 }  // extern "C"
