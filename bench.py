@@ -29,6 +29,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GENOME_MB = float(os.environ.get("BENCH_GENOME_MB", 4.0))
+# second, memory-stressing SE config: per-hap Mbp (x N_HAPS total text;
+# default 16 x 4 = 64 MB, ~8x a desktop LLC — the size where the CPU
+# engine's cache advantage on the 16 MB config disappears). 0 = off.
+BIG_MB = float(os.environ.get("BENCH_BIG_MB", 16.0))
 N_HAPS = int(os.environ.get("BENCH_HAPS", 4))
 N_READS = int(os.environ.get("BENCH_READS", 16384))
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", 16384))
@@ -68,11 +72,11 @@ def _hap_variants(base, rng):
     return [sites[k] for k in sorted(sites)]
 
 
-def bench_prefix():
-    return f"data/bench_g{GENOME_MB:g}h{N_HAPS}"
+def bench_prefix(mb=None):
+    return f"data/bench_g{mb if mb is not None else GENOME_MB:g}h{N_HAPS}"
 
 
-def build_bench_index(cache=None):
+def build_bench_index(cache=None, mb=None):
     """-> (MoniIndex, LiftIndex): a reference contig + N_HAPS-1 variant-
     spliced haplotypes with levioSAM-style lift tables, mirroring the
     reference's headline mode (moni build -r ref -v vcf -H12; README.md:
@@ -80,12 +84,12 @@ def build_bench_index(cache=None):
     from monitpu.index import build_index, MoniIndex
     from monitpu.index.pangenome import splice_haplotype
     from monitpu.index.liftover import Liftover, LiftIndex
-    cache = cache or bench_prefix()
+    cache = cache or bench_prefix(mb)
     if os.path.exists(cache + ".monitpu.npz"):
         log("loading cached bench index")
         return MoniIndex.load(cache), LiftIndex.load(cache)
     rng = np.random.default_rng(1234)
-    n = int(GENOME_MB * 1e6)
+    n = int((mb if mb is not None else GENOME_MB) * 1e6)
     base = rng.integers(1, 5, size=n, dtype=np.int8)
     seqs, names, segs = [base], ["ref"], [None]
     for h in range(1, N_HAPS):
@@ -239,6 +243,65 @@ def bench_pe(idx, lift, rng, n_pairs, batch, tables_cache=None):
     cpu_pps = 2048 / (time.time() - t0)
     log(f"PE CPU baseline ({ncpu} cores): {cpu_pps:.0f} pairs/s")
     return done / dt, acc, cpu_pps
+
+
+def bench_big(mb):
+    """SE throughput on the memory-stressing config (BIG_MB Mbp/hap):
+    same pipeline, fewer reads; returns JSON fields prefixed big_."""
+    from monitpu.align.aligner import Aligner, AlignConfig
+    import multiprocessing
+    log(f"==== big config: {mb:g} Mbp x {N_HAPS} haps ====")
+    idx, lift = build_bench_index(mb=mb)
+    t0 = time.time()
+    aligner = Aligner(idx, AlignConfig(), liftidx=lift,
+                      tables_cache=bench_prefix(mb) + ".tables.npz")
+    log(f"big tables on device: {time.time()-t0:.1f}s")
+    rng = np.random.default_rng(31)
+    n_reads = 3 * BATCH
+    reads, truth = sample_reads(idx, lift, n_reads, rng)
+    t0 = time.time()
+    aligner.complete_batch_sam(aligner.submit_batch(reads[:BATCH]))
+    log(f"big warmup+compile: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    pending = None
+    n_done = acc_ok = acc_tot = 0
+    truth_arr = np.asarray(truth, np.int64)
+    ref_id = list(idx.seq_names).index("ref")
+    for off in list(range(0, n_reads, BATCH)) + [None]:
+        if off is not None:
+            h = aligner.submit_batch(reads[off:off + BATCH])
+        if pending is not None:
+            st, o_off = pending
+            _, o = aligner.finish_complete_sam(aligner.begin_complete_sam(st))
+            B = len(o["flag"])
+            n_done += B
+            t = truth_arr[o_off:o_off + B]
+            ok = ((o["flag"] & 4) == 0) & (o["rname"] == ref_id) & \
+                (np.abs((o["pos"] - 1) - t) <= ACC_TOL)
+            acc_ok += int(ok.sum())
+            acc_tot += int(((o["flag"] & 4) == 0).sum())
+        pending = (h, off) if off is not None else None
+    rps = n_done / (time.time() - t0)
+    ncpu = multiprocessing.cpu_count()
+    cpu = Aligner(idx, AlignConfig(engine="cpu", postseed_threads=ncpu),
+                  liftidx=lift)
+    cpu.complete_batch_sam(cpu.submit_batch(reads[:256]))
+    cpu_rps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        cpu.complete_batch_sam(cpu.submit_batch(reads[:BATCH]))
+        cpu_rps = max(cpu_rps, BATCH / (time.time() - t0))
+    acc = acc_ok / max(acc_tot, 1)
+    log(f"big: {n_done} reads -> {rps:.0f} reads/s (acc={acc:.4f}); "
+        f"CPU baseline: {cpu_rps:.0f} reads/s")
+    return {
+        "big_genome_mb": mb * N_HAPS,
+        "big_reads_per_sec": round(rps, 1),
+        "big_accuracy": round(acc, 4),
+        "big_cpu_baseline_rps": round(cpu_rps, 1),
+        "big_vs_baseline": round(rps / cpu_rps, 3),
+    }
 
 
 def main():
@@ -399,6 +462,10 @@ def main():
             idx, lift, np.random.default_rng(7), N_PAIRS, BATCH,
             tables_cache=tables_cache)
 
+    big = None
+    if BIG_MB > 0:
+        big = bench_big(BIG_MB)
+
     out = {
         "metric": "align_reads_per_sec_1chip",
         "value": round(rps, 1),
@@ -416,6 +483,8 @@ def main():
             "pe_cpu_baseline_pps": round(pe_cpu, 1),
             "pe_vs_baseline": round(pe_pps / pe_cpu, 3),
         })
+    if big is not None:
+        out.update(big)
     print(json.dumps(out))
 
 

@@ -82,6 +82,10 @@ class AlignConfig:
     postseed_threads: int = 8
     pack_seeds_per_read: int = 8     # seed-record transfer budget
     pack_occs_per_read: int = 48     # occurrence-pool transfer budget
+    # device table layout: "fused" = 2-gather LF step (4 B/pos +
+    # 192 B/run), "compact" = 5-gather LF step (1.07 B/pos + 128 B/run)
+    # for indexes whose fused tables overflow HBM (parallel/mesh.py)
+    table_layout: str = "fused"
 
 
 def _host_finalize(index, query_codes, qlens, win_start, active,
@@ -119,7 +123,8 @@ class Aligner:
                  liftidx=None, tables_cache=None):
         self.index = index
         self.cfg = config
-        self.tables = (prepare_tables(index, cache=tables_cache)
+        self.tables = (prepare_tables(index, cache=tables_cache,
+                                      layout=config.table_layout)
                        if config.engine != "cpu" else None)
         self.seq_starts = np.asarray(index.seq_starts)
         self.seq_names = list(index.seq_names)
@@ -192,9 +197,10 @@ class Aligner:
         B = len(reads)
         M = cfg.read_pad
         with phase_timer("encode"):
-            fwd, rc, lens = encode_batch([r[1] for r in reads], M)
-            fcodes = [fwd[b, :lens[b]] for b in range(B)]
-            rcodes = [rc[b, :lens[b]] for b in range(B)]
+            # int8 lanes: the H2D link (tunnel) carries 1/4 the bytes;
+            # kernels cast on device where arithmetic needs int32
+            fwd, rc, lens = encode_batch([r[1] for r in reads], M,
+                                         dtype=np.int8)
 
         if cfg.engine == "cpu":
             from .cpu import cpu_seeds
@@ -204,7 +210,7 @@ class Aligner:
                     np.concatenate([lens, lens]), min_len=cfg.min_len,
                     max_occs=cfg.max_occs, n_threads=cfg.postseed_threads)
             return dict(reads=reads, packed_host=packed, fwd=fwd, rc=rc,
-                        lens=lens, fcodes=fcodes, rcodes=rcodes)
+                        lens=lens)
 
         if cfg.postseed == "native":
             from ..ops.occs import pack_seeds_wire
@@ -214,7 +220,7 @@ class Aligner:
                         [fwd, rc], [lens, lens])
                 return dict(reads=reads, seeds=seeds, wire=wire,
                             sharded=True, lanes=lanes, fwd=fwd, rc=rc,
-                            lens=lens, fcodes=fcodes, rcodes=rcodes)
+                            lens=lens)
             max_mems, work = self.seed_pools()
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
@@ -236,9 +242,9 @@ class Aligner:
                 W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
                 wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
                 self._prefetch_wire(wire)
-            return dict(reads=reads, seeds=seeds, wire=wire, W=W, occ_cap=OC,
-                        lanes=lanes, fwd=fwd, rc=rc, lens=lens,
-                        fcodes=fcodes, rcodes=rcodes)
+            return dict(reads=reads, seeds=seeds, wire=wire, W=W,
+                        occ_cap=OC, lanes=lanes, fwd=fwd, rc=rc,
+                        lens=lens)
 
         raise ValueError(
             f"unknown postseed path {cfg.postseed!r} (the approximate "

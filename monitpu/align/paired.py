@@ -88,11 +88,9 @@ class PairedAligner:
     # ------------------------------------------------------------------
     def _encode(self, batch, M):
         from ..index.alphabet import encode_batch
-        B = len(batch)
-        fwd, rc, lens = encode_batch([r[1] for r in batch], M)
-        fc = [fwd[b, :lens[b]] for b in range(B)]
-        rcc = [rc[b, :lens[b]] for b in range(B)]
-        return fwd, rc, lens, fc, rcc
+        fwd, rc, lens = encode_batch([r[1] for r in batch], M,
+                                     dtype=np.int8)
+        return fwd, rc, lens, None, None
 
     # ------------------------------------------------------------------
     # native post-seed path: device seed stage (4 lanes) + the C++

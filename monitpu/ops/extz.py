@@ -135,12 +135,15 @@ def extz_score_batch(text, lanes, qrow, qoff, qrev, qlen,
 # host-side tiering: (QMAX, TMAX) buckets so tiny gap jobs don't pay a
 # full-read-width DP and each distinct shape compiles once. Tier 0
 # covers the per-gap globals (typically a few bp around a SNP), tier 1
-# the ext_len context extensions, tier 2 the rare whole-chain realigns.
+# the SHORT context extensions (most lc/rc jobs: the read context is
+# the error-adjacent stub, rarely > 64 chars — the scan row count is
+# the kernel's whole cost), tier 2 the long context extensions, tier 3
+# the rare whole-chain realigns.
 def job_tiers(read_pad, ext_len):
     q = -(-read_pad // 32) * 32
     t1 = max(-(-(ext_len + 8) // 64) * 64, 128)
     t2 = max(-(-(read_pad + 2 * ext_len + 32) // 128) * 128, t1)
-    return [(32, 32), (q, t1), (q, t2)]
+    return [(32, 32), (min(64, q), t1), (q, t1), (q, t2)]
 
 
 def job_caps(read_pad, ext_len):
@@ -168,11 +171,13 @@ def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
         idx = np.flatnonzero(assigned == t)
         if idx.size == 0:
             continue
-        # pad J to power-of-two buckets: the kernel specializes on J,
-        # and job counts vary per batch — unbucketed J would recompile
-        # every batch. Pad jobs are valid 1x1 DPs whose results are
-        # dropped. All 7 job vectors ride ONE fused [7, Jp] int64 H2D.
-        Jp = max(256, 1 << int(np.ceil(np.log2(idx.size))))
+        # pad J to {2^k, 1.5*2^k} buckets: the kernel specializes on
+        # J, and job counts vary per batch — unbucketed J would
+        # recompile every batch, while pure powers of two pad up to
+        # ~2x. Pad jobs are valid 1x1 DPs whose results are dropped.
+        # All 7 job vectors ride ONE fused [7, Jp] int64 H2D.
+        k = 1 << max(8, int(np.ceil(np.log2(idx.size))))
+        Jp = (k - k // 4) if idx.size <= k - k // 4 else k
         fused = np.zeros((7, Jp), np.int64)
         for r, k in enumerate(("qrow", "qoff", "qrev", "qlen",
                                "tpos", "trev", "tlen")):

@@ -46,26 +46,50 @@ def _run_of_position(tables, pos):
 def ms_step(tables, pos, sample, c):
     """One backward step for a batch: returns (new_pos, new_sample).
 
-    Mirrors moni.hpp:579-621 case analysis, branchless, as TWO random
-    HBM gathers: the direct pos->run map and one fused 32-byte
-    per-(run, char) row (``lf8``: run start, head, char-count rank,
-    run rank, threshold count/position, and BOTH precomputed
-    threshold-jump SA samples)."""
+    Mirrors moni.hpp:579-621 case analysis, branchless. Two layouts
+    (selected statically by which tables are present):
+
+    * fused (default): TWO random HBM gathers — the direct pos->run
+      int32 map and one fused 32-byte per-(run, char) row (``lf8``:
+      run start, head, char-count rank, run rank, threshold
+      count/position, and BOTH precomputed threshold-jump SA samples).
+      ~4 B/position + 192 B/run.
+    * compact: FIVE gathers over ~1.07 B/position + 128 B/run — the
+      block-anchored pos->run map (block_run + uint8 delta), the 8 B
+      ``run2`` row, the 16 B ``rc4`` per-(run, char) row, and one 8 B
+      fused sample pair from ``csam2``. The layout for indexes the
+      fused tables cannot hold in HBM (parallel/mesh.py discusses the
+      crossover; measured step-rate cost in BASELINE.md)."""
     F = tables["F32"]            # int32[SIGMA+1]
     count_c = F[c + 1] - F[c]
-    j = tables["run_idx"][pos]
-    row = tables["lf8"][j * SIGMA + c]       # [..., 8]
-    rs = row[..., 0]
-    head = row[..., 1]
-    clen = row[..., 2]
-    rank_runs = row[..., 3]
+    if "lf8" in tables:
+        j = tables["run_idx"][pos]
+        row = tables["lf8"][j * SIGMA + c]       # [..., 8]
+        rs = row[..., 0]
+        head = row[..., 1]
+        clen = row[..., 2]
+        rank_runs = row[..., 3]
+        thr_cnt, thr_pos = row[..., 4], row[..., 5]
+    else:
+        j = _run_of_position(tables, pos)
+        r2 = tables["run2"][j]                   # [..., 2]
+        rs, head = r2[..., 0], r2[..., 1]
+        row = tables["rc4"][j * SIGMA + c]       # [..., 4]
+        clen, rank_runs = row[..., 0], row[..., 1]
+        thr_cnt, thr_pos = row[..., 2], row[..., 3]
     match = head == c
     rank_c_pos = clen + jnp.where(match, pos - rs, 0)
 
     # jump path (BWT[pos] != c): threshold decides up vs down
-    thr_c = row[..., 4] + (row[..., 5] <= pos).astype(jnp.int32)
+    thr_c = thr_cnt + (thr_pos <= pos).astype(jnp.int32)
     up = rank_runs > thr_c
-    csam = jnp.where(up, row[..., 6], row[..., 7])
+    if "lf8" in tables:
+        csam = jnp.where(up, row[..., 6], row[..., 7])
+    else:
+        Rc = tables["csam_rc"]
+        k = jnp.clip(jnp.where(up, rank_runs - 1, rank_runs), 0, Rc - 1)
+        srow = tables["csam2"][c * Rc + k]       # [..., 2] = (start, last)
+        csam = jnp.where(up, srow[..., 1], srow[..., 0])
 
     n = tables["n"]
     count0 = count_c == 0
@@ -314,6 +338,7 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
         silently diverge from the unbounded reference — callers surface
         them (Aligner.stats) so pools can be resized."""
     B, M = reads.shape
+    reads = reads.astype(jnp.int32)   # int8 wire format -> compute dtype
     ptr = ms_pointers_batch(tables, reads, read_lens)
     lens, ph2_dropped = _ms_lengths_core(tables, reads, read_lens, ptr,
                                          work_per_read=work_per_read)
@@ -411,11 +436,16 @@ def _nib_rows_host(tp):
     return np.ascontiguousarray(w.reshape(-1, 8))
 
 
-def prepare_tables_host(index):
+def prepare_tables_host(index, layout="fused"):
     """MoniIndex -> HOST (numpy) table dict in the gather-minimal layout
     the kernels want (see ms_step): multi-field row gathers (lf8, phi3),
     pos->run / pos->anchor maps, and a zero-padded text so contiguous
     slice-gathers never need per-element clamping.
+
+    layout="fused" (default): 2-gather LF step, ~4 B/pos + 192 B/run.
+    layout="compact": 5-gather LF step, ~1.07 B/pos + 128 B/run — for
+    indexes whose fused tables overflow HBM (the crossover arithmetic
+    lives in parallel/mesh.py).
 
     Pure numpy so the result can be cached to disk (save_prepared /
     load_prepared) — re-deriving these tables costs tens of seconds at
@@ -425,8 +455,9 @@ def prepare_tables_host(index):
     if n > 2**31 - 2 or index.run_starts.dtype == np.int64:
         # beyond-int32 indexes exceed single-chip HBM anyway (lf8 alone
         # is r*48B at int64); they are served by the 64-bit CPU engine
-        # (--engine cpu) until position-range index sharding lands
-        # (parallel/mesh.py discusses the crossover)
+        # (--engine cpu) or position-range index sharding
+        # (parallel/shard_index.py prototype; parallel/mesh.py has the
+        # crossover arithmetic)
         raise NotImplementedError(
             "device tables are int32; use engine='cpu' for indexes "
             "beyond 2^31 positions")
@@ -457,6 +488,30 @@ def prepare_tables_host(index):
     d["text_w32"] = tp.view("<u4")   # 4 chars per word
     d["text_nib8r"] = _nib_rows_host(tp)
 
+    run_lens = np.diff(np.append(index.run_starts.astype(np.int64), n))
+    if layout == "compact":
+        # block-anchored pos->run (1 B/pos) + 8 B run2 + 16 B rc4 rows
+        # + fused 8 B (start, last) per-char sample pairs
+        run_at_pos = np.repeat(np.arange(r, dtype=np.int64), run_lens)
+        blk = np.asarray(index.block_run, np.int64)[
+            np.arange(n, dtype=np.int64) >> BLOCK_BITS]
+        d["block_run"] = np.asarray(index.block_run, np.int32)
+        d["run_delta_u8"] = (run_at_pos - blk).astype(np.uint8)
+        d["run2"] = np.ascontiguousarray(np.stack(
+            [index.run_starts.astype(np.int32),
+             index.run_heads.astype(np.int32)], axis=1))
+        d["rc4"] = np.ascontiguousarray(np.stack(
+            [index.clen_at_run, index.run_crank,
+             index.thr_cnt_run, index.thr_pos_run],
+            axis=2).astype(np.int32).reshape(r * SIGMA, 4))
+        cs = np.asarray(index.csamples_start, np.int32)
+        cl = np.asarray(index.csamples_last, np.int32)
+        Rc = cs.shape[1]
+        d["csam_rc"] = np.int32(Rc)
+        d["csam2"] = np.ascontiguousarray(np.stack(
+            [cs, cl], axis=2).reshape(SIGMA * Rc, 2))
+        return d
+
     # gather-minimal LF step: ONE fused 32-byte row per (run, char)
     # carrying run start/head, rank/threshold fields AND both threshold-
     # jump SA samples (precomputed per row), plus a direct pos->run
@@ -464,7 +519,6 @@ def prepare_tables_host(index):
     # random HBM gathers per backward step (was five). Trades ~1.3x
     # table bytes for the step-rate win; the aligner path drops the
     # unfused tables (SPUMONI keeps lf_core_tables' run2/rc4 layout).
-    run_lens = np.diff(np.append(index.run_starts.astype(np.int64), n))
     d["run_idx"] = np.repeat(np.arange(r, dtype=np.int32), run_lens)
     rr = index.run_crank.astype(np.int64)             # [r, SIGMA]
     cs = np.asarray(index.csamples_start)
@@ -517,14 +571,17 @@ def load_prepared(path, index=None):
         return None
 
 
-def prepare_tables(index, cache=None):
+def prepare_tables(index, cache=None, layout="fused"):
     """MoniIndex -> device table pytree consumed by the kernels.
 
     cache: optional path of a prepared-tables npz; used when valid,
-    (re)written otherwise."""
+    (re)written otherwise. layout: see prepare_tables_host; compact
+    caches carry a distinct marker so the two never cross-load."""
     host = load_prepared(cache, index) if cache else None
+    if host is not None and ("lf8" in host) != (layout == "fused"):
+        host = None
     if host is None:
-        host = prepare_tables_host(index)
+        host = prepare_tables_host(index, layout=layout)
         if cache:
             save_prepared(host, cache)
     return stage_tables(host)

@@ -11,9 +11,12 @@ in the reference. Insert-size learning (paired-end) is the one global
 reduction and uses a psum of Welford accumulators (mirrors the
 mutex-merged accumulators, aligner_ksw2.hpp:816-885).
 
-Index sharding for HBM overflow is deliberately NOT implemented. The
-honest device-memory arithmetic for the aligner-path tables
-(ops/ms.prepare_tables_host layout):
+Index sharding for HBM overflow has a working prototype
+(parallel/shard_index.py: position-range slices of the pos->run map
+and lf8 rows, masked owner-local gathers + one [B] and one [B, 8]
+psum per backward step; bit-parity pinned on a virtual CPU mesh by
+tests/test_shard_index.py). The honest device-memory arithmetic for
+the aligner-path tables (ops/ms.prepare_tables_host layout):
 
     per position: run_idx 4 B + text 1.25 B + phi/phiinv kd_u8 2 B
                   + phi block anchors ~0.13 B          ~= 7.4 B/pos
@@ -30,13 +33,15 @@ BEFORE the int32 n < 2^31 schema bound; at pangenome repetitiveness
 (n/r ~= 20-100, many haplotypes of one reference) the crossover is
 n ~= 1.2-1.9 G and the int32 bound binds first. Indexes beyond either
 limit are served today by the 64-bit CPU engine (index/build.py's
-int64 path + --engine cpu); the TPU plan of record for them is
-position-range sharding with routed gathers (all_gather queries /
-psum answers inside shard_map) over the reads mesh. For HBM-tight
-cases within int32, the pos->run map can also be swapped back to the
-1.25 B/position block+delta layout that the SPUMONI path still uses
-(ops/ms.lf_core_tables) and the lf8 threshold-jump samples dropped to
-a 16 B row (costing one extra gather per mismatch step).
+int64 path + --engine cpu); the TPU plan of record for them is the
+shard_index.py design scaled out (its int32 local offsets hold to
+D * 2^31 positions). For HBM-tight cases within int32, AlignConfig
+(table_layout="compact") swaps the LF step onto the 1.07 B/position
+block+delta map + 8 B run2 + 16 B rc4 + 8 B csam2 rows (~128 B/run,
+five gathers per step instead of two; bit-parity pinned by
+tests/test_ms_kernel.py::test_compact_layout_parity), moving the
+crossover at pangenome repetitiveness from n ~= 1.2-1.9 G to the
+int32 schema bound itself.
 """
 
 from __future__ import annotations

@@ -120,3 +120,20 @@ def test_find_mems_exact_read_has_full_mem(rng):
     assert int(ml[0, 0]) == L
     got = int(mp[0, 0])
     np.testing.assert_array_equal(t[got:got + L], read)
+
+
+def test_compact_layout_parity(rng):
+    """ms_step's compact layout (block+delta pos->run, run2/rc4 rows,
+    fused csam2 sample pairs — 1.07 B/pos + 128 B/run) must reproduce
+    the fused layout bit-for-bit across pointers, lengths and MEMs."""
+    from monitpu.ops.ms import (prepare_tables_host, stage_tables,
+                                find_mems_batch)
+    idx = build_small(rng, n=4000)
+    reads, lens = make_batch(rng, idx, B=24, M=80)
+    fused = stage_tables(prepare_tables_host(idx))
+    compact = stage_tables(prepare_tables_host(idx, layout="compact"))
+    assert "lf8" not in compact and "csam2" in compact
+    a = find_mems_batch(fused, reads, lens)
+    b = find_mems_batch(compact, reads, lens)
+    for x, y in zip(a[:4], b[:4]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
