@@ -213,7 +213,6 @@ class Aligner:
                         lens=lens)
 
         if cfg.postseed == "native":
-            from ..ops.occs import pack_seeds_wire
             if self.mesh is not None:
                 with phase_timer("device dispatch (sharded)"):
                     seeds, wire, lanes = self._seed_stage_sharded(
@@ -222,25 +221,21 @@ class Aligner:
                             sharded=True, lanes=lanes, fwd=fwd, rc=rc,
                             lens=lens)
             max_mems, work = self.seed_pools()
+            from ..ops.occs import seed_stage_fused
             with phase_timer("device dispatch"):
                 lanes = jnp.concatenate(
                     [self.put_batch(fwd), self.put_batch(rc)], axis=0)
                 lens2 = jnp.concatenate([self.put_batch(lens)] * 2, axis=0)
-                *mems, mctr = find_mems_batch(
-                    self.tables, lanes, lens2, max_mems=max_mems,
-                    min_len=cfg.min_len, work_per_read=work)
-                seeds = populate_seeds_batch(
-                    self.tables, *mems, max_occs=cfg.max_occs,
-                    min_len=cfg.min_len)
-                occ_capped = seeds.pop("occ_capped")
-                ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
-                                  occ_capped])
-                # compact for transfer: the dense arrays are ~97% padding
-                # and the device->host link is the bottleneck (ONE fused
-                # wire vector incl. the truncation counters — the tunnel
-                # charges ~25 ms latency per transfer)
+                # one fused dispatch; the wire is compact for transfer:
+                # the dense arrays are ~97% padding and the device->host
+                # link is the bottleneck (ONE fused wire vector incl.
+                # the truncation counters — the tunnel charges ~25 ms
+                # latency per transfer)
                 W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
-                wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
+                seeds, wire = seed_stage_fused(
+                    self.tables, lanes, lens2, max_mems=max_mems,
+                    min_len=cfg.min_len, work_per_read=work,
+                    max_occs=cfg.max_occs, W=W, occ_cap=OC)
                 self._prefetch_wire(wire)
             return dict(reads=reads, seeds=seeds, wire=wire, W=W,
                         occ_cap=OC, lanes=lanes, fwd=fwd, rc=rc,
@@ -418,7 +413,7 @@ class Aligner:
         if c[0] == 0 and c[1] == 0:
             return h, packed
         cfg = self.cfg
-        from ..ops.occs import pack_seeds_wire
+        from ..ops.occs import seed_stage_fused
         if n_lanes == 2:
             arrays = [h["fwd"], h["rc"]]
             lens = [h["lens"], h["lens"]]
@@ -459,16 +454,10 @@ class Aligner:
                                          for a in arrays], axis=0)
                 lens2 = jnp.concatenate([self.put_batch(l)
                                          for l in lens], axis=0)
-                *mems, mctr = find_mems_batch(
+                seeds, wire = seed_stage_fused(
                     self.tables, lanes, lens2, max_mems=max_mems,
-                    min_len=cfg.min_len, work_per_read=work)
-                seeds = populate_seeds_batch(
-                    self.tables, *mems, max_occs=cfg.max_occs,
-                    min_len=cfg.min_len)
-                occ_capped = seeds.pop("occ_capped")
-                ctrs = jnp.stack([mctr["lce_dropped"],
-                                  mctr["mem_dropped"], occ_capped])
-                wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
+                    min_len=cfg.min_len, work_per_read=work,
+                    max_occs=cfg.max_occs, W=W, occ_cap=OC)
             h = dict(h)
             h["seeds"], h["wire"] = seeds, wire
             h["W"], h["occ_cap"] = W, OC

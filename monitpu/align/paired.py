@@ -126,21 +126,16 @@ class PairedAligner:
                         m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                         len1=len1, len2=len2)
         max_mems, work = al.seed_pools()
+        from ..ops.occs import seed_stage_fused
         with phase_timer("pe device dispatch"):
             lanes = al.put_batch(np.concatenate([m1f, m2r, m2f, m1r]))
             lensx = al.put_batch(np.concatenate([len1, len2, len2, len1]))
-            *mems, mctr = find_mems_batch(al.tables, lanes, lensx,
-                                          max_mems=max_mems,
-                                          min_len=cfg.min_len,
-                                          work_per_read=work)
-            seeds = populate_seeds_batch(al.tables, *mems,
-                                         max_occs=cfg.max_occs,
-                                         min_len=cfg.min_len)
-            ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
-                              seeds.pop("occ_capped")])
             W, OC = 2 * cfg.pack_seeds_per_read * B, \
                 2 * cfg.pack_occs_per_read * B
-            wire = pack_seeds_wire(seeds, W=W, occ_cap=OC, ctrs=ctrs)
+            seeds, wire = seed_stage_fused(
+                al.tables, lanes, lensx, max_mems=max_mems,
+                min_len=cfg.min_len, work_per_read=work,
+                max_occs=cfg.max_occs, W=W, occ_cap=OC)
             al._prefetch_wire(wire)
         return dict(batch1=batch1, batch2=batch2, seeds=seeds,
                     wire=wire, W=W, occ_cap=OC, lanes=lanes,

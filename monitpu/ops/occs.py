@@ -325,3 +325,24 @@ def unpack_seeds_wire(buf, W, occ_cap, S):
         "cnt": cnt, "off": off, "occ": occ,
         "n_valid": np.int32(n_valid), "n_occ": np.int32(n_occ), "S": S,
     }, ctrs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_mems", "min_len", "work_per_read", "max_occs", "W", "occ_cap"))
+def seed_stage_fused(tables, lanes, lens2, max_mems, min_len,
+                     work_per_read, max_occs, W, occ_cap):
+    """find_mems + populate_seeds + pack_seeds_wire as ONE jitted
+    program: a single device dispatch instead of three. Under the
+    remote tunnel each dispatch pays a fixed round-trip (~10-25 ms);
+    fusing the seed stage removes two of them per batch (the sharded
+    path already fuses inside its shard_map body)."""
+    from .ms import find_mems_batch
+    *mems, mctr = find_mems_batch(tables, lanes, lens2,
+                                  max_mems=max_mems, min_len=min_len,
+                                  work_per_read=work_per_read)
+    seeds = populate_seeds_batch(tables, *mems, max_occs=max_occs,
+                                 min_len=min_len)
+    ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
+                      seeds.pop("occ_capped")])
+    wire = pack_seeds_wire(seeds, W=W, occ_cap=occ_cap, ctrs=ctrs)
+    return seeds, wire

@@ -1,6 +1,6 @@
 """Host post-seed phase breakdown over the native prof counters.
 
-Usage: python tools/profile_postseed.py [B ...]   (default 4096)
+Usage: python tools/profile_postseed.py [B ...] [--pe]   (default 4096)
 
 Feeds the cached bench index + sampled reads through the real SE
 pipeline (TPU seed stage -> native plan/resolve postseed -> native SAM
@@ -27,7 +27,8 @@ import numpy as np
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [4096]
+    pe = "--pe" in sys.argv
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [4096]
     from monitpu.native.sais import _load
     from monitpu.align.aligner import Aligner, AlignConfig
     import bench
@@ -40,12 +41,22 @@ def main():
     aligner = Aligner(idx, AlignConfig(), liftidx=lift,
                       tables_cache=bench.bench_prefix() + ".tables.npz")
     rng = np.random.default_rng(99)
-    reads, _ = bench.sample_reads(idx, lift, max(sizes), rng)
+    if pe:
+        from monitpu.align.paired import PairedAligner
+        pal = PairedAligner(aligner)
+        b1, b2, _ = bench.sample_pairs(idx, lift, max(sizes), rng)
+        pal.learn_pair_batch(b1[:sizes[0]], b2[:sizes[0]])
+    else:
+        reads, _ = bench.sample_reads(idx, lift, max(sizes), rng)
 
     for B in sizes:
-        chunk = reads[:B]
-        # warm (compile + sticky pools)
-        aligner.complete_batch_sam(aligner.submit_batch(chunk))
+        if pe:
+            c1, c2 = b1[:B], b2[:B]
+            pal.complete_pair_batch_sam(pal.submit_pair_batch(c1, c2))
+        else:
+            chunk = reads[:B]
+            # warm (compile + sticky pools)
+            aligner.complete_batch_sam(aligner.submit_batch(chunk))
 
         lib.monitpu_prof_reset(1)
         t = {}
@@ -58,12 +69,20 @@ def main():
 
         reps = 3
         for _ in range(reps):
-            h = clock("submit(enc+h2d+kernels)",
-                      lambda: aligner.submit_batch(chunk))
-            st = clock("begin(pull+plan+dispatch)",
-                       lambda: aligner.begin_complete_sam(h))
-            clock("finish(collect+resolve+sam)",
-                  lambda: aligner.finish_complete_sam(st))
+            if pe:
+                h = clock("submit(enc+h2d+kernels)",
+                          lambda: pal.submit_pair_batch(c1, c2))
+                st = clock("begin(pull+plan+dispatch)",
+                           lambda: pal.begin_complete_pair_sam(h))
+                clock("finish(collect+resolve+sam)",
+                      lambda: pal.finish_complete_pair_sam(st))
+            else:
+                h = clock("submit(enc+h2d+kernels)",
+                          lambda: aligner.submit_batch(chunk))
+                st = clock("begin(pull+plan+dispatch)",
+                           lambda: aligner.begin_complete_sam(h))
+                clock("finish(collect+resolve+sam)",
+                      lambda: aligner.finish_complete_sam(st))
         c = (ctypes.c_int64 * 8)()
         lib.monitpu_prof_read(c)
         lib.monitpu_prof_reset(0)
