@@ -45,6 +45,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def host_speed():
+    """Spin-loop calibration (iterations/s, single core). The driver
+    box's effective CPU speed swings with co-tenant phases (measured
+    7x on identical spins); recording it beside every CPU-engine
+    number makes the vs_baseline denominator interpretable."""
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return 5_000_000 / (time.time() - t0)
+
+
 def _hap_variants(base, rng):
     """Random variant list in parse_vcf's tuple format: SNPs (~0.1%) +
     small indels (~1 per 15 kb, len 1..8) — the bench pangenome carries
@@ -356,11 +368,13 @@ def main():
                   liftidx=lift)
     cpu.complete_batch_sam(cpu.submit_batch(reads[:256]))   # warm
     cpu_rps = 0.0
+    hs = host_speed()
     for _ in range(3):
         t0 = time.time()
         cpu.complete_batch_sam(cpu.submit_batch(reads[:4096]))
         cpu_rps = max(cpu_rps, 4096 / (time.time() - t0))
-    log(f"CPU baseline ({ncpu} cores, best of 3): {cpu_rps:.0f} reads/s")
+    log(f"CPU baseline ({ncpu} cores, best of 3): {cpu_rps:.0f} reads/s "
+        f"(host speed {hs/1e6:.1f} Mit/s)")
 
     truth_arr = np.asarray(truth, np.int64)
     ref_id = list(idx.seq_names).index("ref")
@@ -474,6 +488,7 @@ def main():
         "cpu_baseline_rps": round(cpu_rps, 1),
         "cpu_cores": ncpu,
         "se_accuracy": round(se_acc, 4),
+        "host_speed_mips": round(hs / 1e6, 1),
         "breakdown": breakdown,
     }
     if pe_pps is not None:

@@ -151,6 +151,14 @@ def job_caps(read_pad, ext_len):
     return max(t[0] for t in tiers), max(t[1] for t in tiers)
 
 
+# per-tier-shape high-water mark of the padded job count: batches
+# whose J crosses a bucket boundary would otherwise recompile MID-RUN
+# (a multi-second stall under remote compile); rounding up to the
+# largest bucket seen keeps one executable per tier after warmup at
+# the cost of a little padding
+_J_HIGH_WATER = {}
+
+
 def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
     """Dispatch a numpy job dict through the tiered device kernels
     ASYNCHRONOUSLY: returns a continuation state whose device work is
@@ -178,6 +186,8 @@ def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
         # All 7 job vectors ride ONE fused [7, Jp] int64 H2D.
         k = 1 << max(8, int(np.ceil(np.log2(idx.size))))
         Jp = (k - k // 4) if idx.size <= k - k // 4 else k
+        Jp = max(Jp, _J_HIGH_WATER.get(tier, 0))
+        _J_HIGH_WATER[tier] = Jp
         fused = np.zeros((7, Jp), np.int64)
         for r, k in enumerate(("qrow", "qoff", "qrev", "qlen",
                                "tpos", "trev", "tlen")):
