@@ -134,20 +134,41 @@ def _seg_first_argmin(lcp64: np.ndarray, lo: np.ndarray,
 # ----------------------------------------------------------------------
 
 def build_index(seqs, names=None, already_encoded: bool = False,
-                force_wide: bool = False) -> MoniIndex:
+                force_wide: bool = False, consume: bool = False) -> MoniIndex:
     """Build a MoniIndex from a list of sequences (bytes/str or code arrays).
 
     Each sequence is terminated with SEP; the final SEP doubles as the
-    text terminator (smallest char, so suffix order is well defined)."""
+    text terminator (smallest char, so suffix order is well defined).
+
+    consume=True releases each input sequence as soon as it has been
+    copied into the concatenated text (the caller's list is emptied in
+    place) — at pangenome scale the inputs are tens of GB that must
+    not stay alive through the SA/LCP phase."""
     if names is None:
         names = [f"seq{i}" for i in range(len(seqs))]
     parts, starts = [], [0]
-    for s in seqs:
+    for i in range(len(seqs)):
+        s = seqs[i]
         codes = np.asarray(s, dtype=np.int8) if already_encoded else encode_seq(s)
         parts.append(codes)
         parts.append(np.array([SEP], dtype=np.int8))
         starts.append(starts[-1] + codes.size + 1)
-    text = np.concatenate(parts)
+    n_total = starts[-1]
+    # assemble without np.concatenate's all-parts-plus-result peak,
+    # releasing inputs as they are copied when consume is on
+    text = np.empty(n_total, np.int8)
+    off = 0
+    for i in range(0, len(parts), 2):
+        c = parts[i]
+        text[off:off + c.size] = c
+        text[off + c.size] = SEP
+        off += c.size + 1
+        parts[i] = None
+        if consume:
+            seqs[i // 2] = None
+    if consume:
+        seqs.clear()
+    del parts
     n = text.size
     # n >= 2^31: int64 tables throughout (SA-IS/Kasai switch too) — the
     # reference swaps to 64-bit pfp_thresholds binaries at the same
@@ -164,10 +185,13 @@ def build_index_from_sa(text, sa, seq_starts, seq_names,
     n = text.size
     # force_wide exercises the 64-bit table path on small inputs (tests)
     idt = np.int64 if (force_wide or n > 2**31 - 2) else np.int32
-    sa = sa.astype(idt)
-    sa64 = sa.astype(np.int64)
+    # copy=False: at pangenome scale each same-dtype astype copy is
+    # 8n bytes of avoidable peak RSS (the 2.55 Gbp build OOM'd a
+    # 125 GB box through exactly these)
+    sa = sa.astype(idt, copy=False)
+    sa64 = sa.astype(np.int64, copy=False)
     bwt = bwt_from_sa(text, sa)
-    lcp = lcp_kasai(text, sa).astype(idt)
+    lcp = lcp_kasai(text, sa).astype(idt, copy=False)
     isa = np.empty(n, dtype=np.int64)
     isa[sa64] = np.arange(n)
 
@@ -180,9 +204,11 @@ def build_index_from_sa(text, sa, seq_starts, seq_names,
     boundary = np.empty(n, dtype=bool)
     boundary[0] = True
     boundary[1:] = bwt[1:] != bwt[:-1]
-    run_starts = np.flatnonzero(boundary).astype(idt)
+    run_starts = np.flatnonzero(boundary).astype(idt, copy=False)
+    del boundary
     r = run_starts.size
     run_heads = bwt[run_starts].astype(np.int8)
+    del bwt   # counts already taken; frees n bytes before the r-tables
     run_ends = np.empty(r, dtype=np.int64)
     run_ends[:-1] = run_starts[1:].astype(np.int64) - 1
     run_ends[-1] = n - 1
@@ -203,10 +229,12 @@ def build_index_from_sa(text, sa, seq_starts, seq_names,
     onehot = np.zeros((r, SIGMA), dtype=np.int64)
     onehot[np.arange(r), heads64] = 1
     run_crank = np.cumsum(onehot, axis=0) - onehot          # c-runs before j
-    clen = np.cumsum(onehot * run_lens[:, None], axis=0) - onehot * run_lens[:, None]
+    wlen = onehot * run_lens[:, None]
+    clen = np.cumsum(wlen, axis=0) - wlen
+    nruns_c = onehot.sum(axis=0).astype(np.int32)
+    del wlen, onehot
 
     # per-char c-run id lists and fused sample tables
-    nruns_c = onehot.sum(axis=0).astype(np.int32)
     rc_max = max(int(nruns_c.max()), 1)
     csamples_start = np.zeros((SIGMA, rc_max), dtype=idt)
     csamples_last = np.zeros((SIGMA, rc_max), dtype=idt)
@@ -221,7 +249,7 @@ def build_index_from_sa(text, sa, seq_starts, seq_names,
     # via a native segmented argmin (O(covered rows), no temporaries,
     # no overflow — the former lcp*n+i composite key needed n^2 < 2^63
     # and materialized two n-sized int64 arrays)
-    lcp64 = lcp.astype(np.int64)
+    lcp64 = lcp.astype(np.int64, copy=False)
     thr_cnt_run = np.zeros((r, SIGMA), dtype=idt)
     # "no threshold" sentinel: larger than any position in this dtype
     thr_pos_run = np.full((r, SIGMA), np.iinfo(idt).max - 1, dtype=idt)

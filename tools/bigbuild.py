@@ -51,10 +51,9 @@ from monitpu.index import build_index  # noqa: E402
 
 t0 = time.time()
 idx = build_index(seqs, names=[f"hap{h}" for h in range(HAPS)],
-                  already_encoded=True,
+                  already_encoded=True, consume=True,
                   force_wide=GBP * HAPS < 2.0)  # smoke runs still test 64-bit
 build_s = time.time() - t0
-del seqs
 log(f"index built: n={idx.n} ({idx.n/1e9:.2f} G) r={idx.r} "
     f"n/r={idx.n/idx.r:.1f} dtype={idx.run_starts.dtype} "
     f"tables={idx.nbytes()/1e9:.1f} GB in {build_s:.0f}s, "
