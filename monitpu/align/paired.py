@@ -88,9 +88,7 @@ class PairedAligner:
     # ------------------------------------------------------------------
     def _encode(self, batch, M):
         from ..index.alphabet import encode_batch
-        fwd, rc, lens = encode_batch([r[1] for r in batch], M,
-                                     dtype=np.int8)
-        return fwd, rc, lens, None, None
+        return encode_batch([r[1] for r in batch], M, dtype=np.int8)
 
     # ------------------------------------------------------------------
     # native post-seed path: device seed stage (4 lanes) + the C++
@@ -103,8 +101,8 @@ class PairedAligner:
         cfg = self.cfg
         al = self.al
         B, M = len(batch1), cfg.read_pad
-        m1f, m1r, len1, _, _ = self._encode(batch1, M)
-        m2f, m2r, len2, _, _ = self._encode(batch2, M)
+        m1f, m1r, len1 = self._encode(batch1, M)
+        m2f, m2r, len2 = self._encode(batch2, M)
         if cfg.engine == "cpu":
             from .cpu import cpu_seeds
             with phase_timer("pe cpu seeds"):
@@ -239,8 +237,8 @@ class PairedAligner:
         """4-lane seeds ([m1F, m2RC, m2F, m1RC] row blocks) on host."""
         cfg = self.cfg
         B, M = len(batch1), cfg.read_pad
-        m1f, m1r, len1, _, _ = self._encode(batch1, M)
-        m2f, m2r, len2, _, _ = self._encode(batch2, M)
+        m1f, m1r, len1 = self._encode(batch1, M)
+        m2f, m2r, len2 = self._encode(batch2, M)
         lanes = jnp.asarray(np.concatenate([m1f, m2r, m2f, m1r]))
         lensx = jnp.asarray(np.concatenate([len1, len2, len2, len1]))
         *mems, _ctr = find_mems_batch(self.al.tables, lanes, lensx,
