@@ -158,3 +158,57 @@ def test_sharded_pe_parity(setup):
              for f in FIELDS + ["pnext", "tlen"]
              if getattr(s, f) != getattr(m, f)]
     assert not diffs, diffs[:10]
+
+
+def test_sharded_sam_fastpath_byte_identity(setup):
+    """The native SAM fast path (begin/finish + monitpu_format_sam_se)
+    must emit byte-identical output on an 8-device mesh, with the
+    device extz score pass serving the sharded batches."""
+    idx, reads = setup
+    cfg = AlignConfig(max_occs=64, postseed_threads=2)
+    single = Aligner(idx, cfg)
+    want, _ = single.complete_batch_sam(single.submit_batch(reads))
+
+    sharded = Aligner(idx, cfg)
+    sharded.enable_mesh(8)
+    got, _ = sharded.complete_batch_sam(sharded.submit_batch(reads))
+    assert sharded.stats.get("extz_device_batches", 0) >= 1
+    assert got == want
+
+
+def test_sharded_pe_sam_fastpath_byte_identity(setup):
+    """PE native SAM fast path under the mesh: byte parity with the
+    single-device run."""
+    from monitpu.align.paired import PairedAligner
+    idx, _ = setup
+    rng = np.random.default_rng(59)
+    text = np.asarray(idx.text)
+    starts = np.asarray(idx.seq_starts)
+    b1, b2 = [], []
+    L = 100
+    for i in range(32):
+        hap = int(rng.integers(0, len(starts) - 1))
+        ins = int(rng.integers(250, 330))
+        lo, hi = int(starts[hap]), int(starts[hap + 1]) - 1 - ins
+        s = int(rng.integers(lo, hi))
+        frag = text[s:s + ins]
+        m1 = frag[:L].copy()
+        m2 = revcomp_codes(frag[-L:].copy().astype(np.int8))
+        from monitpu.index import decode_seq as dec
+        b1.append((f"q{i}/1", dec(m1.astype(np.int8)), "I" * L))
+        b2.append((f"q{i}/2", dec(m2), "I" * L))
+    cfg = AlignConfig(max_occs=64, postseed_threads=2)
+    single = PairedAligner(Aligner(idx, cfg))
+    single.learn_pair_batch(b1, b2)
+    want, _ = single.complete_pair_batch_sam(
+        single.submit_pair_batch(b1, b2))
+
+    al = Aligner(idx, cfg)
+    al.enable_mesh(8)
+    sharded = PairedAligner(al)
+    sharded.learn_pair_batch(b1, b2)
+    sharded.ins = single.ins  # identical insert model for byte parity
+    got, _ = sharded.complete_pair_batch_sam(
+        sharded.submit_pair_batch(b1, b2))
+    assert al.stats.get("extz_device_batches", 0) >= 1
+    assert got == want
