@@ -115,7 +115,7 @@ class Extender:
             n = al.tables["n"]
             ws = jnp.clip(mem_pos - mem_idx - cfg.margin, 0, n - 1)
             from ..ops.ms import extract_windows
-            Wt = -(-(M + 2 * cfg.margin + 4) // 4) * 4
+            Wt = -(-(M + 2 * cfg.margin + 8) // 8) * 8
             target = extract_windows(al.tables, ws, Wt)
             tlen = jnp.clip(n - ws, 0, Wt)
             out = sw_fit_banded(lanes, lens2, target, tlen, cfg.sw,

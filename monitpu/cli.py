@@ -21,30 +21,56 @@ def log(*a):
 
 
 def cmd_build(args):
+    import datetime
     import numpy as np
     from .index import build_index
     from .io import read_fasta
 
+    # operational build log tee (<prefix>.monitpu.log), mirroring the
+    # reference driver's <prefix>.moni.log (pipeline/moni.in:94-111):
+    # every build message lands on stderr AND in the log file, with the
+    # invocation and wall time recorded.
+    d = os.path.dirname(args.output)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    logf = open(args.output + ".monitpu.log", "a")
+
+    def blog(*a):
+        msg = " ".join(str(x) for x in a)
+        log(msg)
+        logf.write(f"[{datetime.datetime.now().isoformat(' ', 'seconds')}] "
+                   f"{msg}\n")
+        logf.flush()
+
+    blog(f"monitpu build: {' '.join(sys.argv[1:])}")
     t0 = time.time()
-    if args.vcf:
-        from .index.pangenome import build_pangenome_index
-        idx, lift = build_pangenome_index(args.reference, args.vcf,
-                                          samples=args.samples,
-                                          haplotypes=args.haplotype,
-                                          log=log)
-        lift.save(args.output)
-    else:
-        seqs = read_fasta(args.reference)
-        log(f"read {len(seqs)} sequences")
-        idx = build_index([s for _, s in seqs], names=[n for n, _ in seqs])
-    log(f"index: n={idx.n} r={idx.r} n/r={idx.n/idx.r:.2f} "
-        f"tables={idx.nbytes()/1e6:.1f}MB ({time.time()-t0:.1f}s)")
-    idx.save(args.output)
-    log(f"saved {args.output}.monitpu.npz")
-    if getattr(args, "spumoni", False):
-        from .ops.spumoni import save_spumoni
-        save_spumoni(idx, args.output)
-        log(f"saved {args.output}.spumoni.npz (threshold-only)")
+    try:
+        if args.vcf:
+            from .index.pangenome import build_pangenome_index
+            idx, lift = build_pangenome_index(args.reference, args.vcf,
+                                              samples=args.samples,
+                                              haplotypes=args.haplotype,
+                                              log=blog)
+            lift.save(args.output)
+        else:
+            seqs = read_fasta(args.reference)
+            blog(f"read {len(seqs)} sequences")
+            idx = build_index([s for _, s in seqs],
+                              names=[n for n, _ in seqs])
+        blog(f"index: n={idx.n} r={idx.r} n/r={idx.n/idx.r:.2f} "
+             f"tables={idx.nbytes()/1e6:.1f}MB ({time.time()-t0:.1f}s)")
+        idx.save(args.output)
+        blog(f"saved {args.output}.monitpu.npz")
+        if getattr(args, "spumoni", False):
+            from .ops.spumoni import save_spumoni
+            save_spumoni(idx, args.output)
+            blog(f"saved {args.output}.spumoni.npz (threshold-only)")
+        blog(f"build complete in {time.time()-t0:.1f}s")
+    except BaseException as e:
+        blog(f"build FAILED after {time.time()-t0:.1f}s: {e!r}")
+        raise
+    finally:
+        logf.close()
 
 
 def _parse_gap_pair(s):
@@ -138,7 +164,14 @@ def cmd_align(args):
     resume = bool(getattr(args, "resume", False))
     if resume and ckpt_path and os.path.exists(ckpt_path):
         import json
-        skip_batches = json.load(open(ckpt_path)).get("batches_done", 0)
+        ck = json.load(open(ckpt_path))
+        skip_batches = ck.get("batches_done", 0)
+        # a kill can land between the SAM flush of batch k+1 and its
+        # checkpoint write; truncating to the checkpointed byte offset
+        # makes resume byte-identical no matter where the kill landed
+        if ck.get("bytes_done") is not None and os.path.exists(args.output):
+            with open(args.output, "r+b") as tf:
+                tf.truncate(int(ck["bytes_done"]))
         log(f"resuming after {skip_batches} completed batches")
     out = (open(args.output, "a" if skip_batches else "w")
            if args.output else sys.stdout)
@@ -181,7 +214,8 @@ def cmd_align(args):
         if ckpt_path:
             import json
             with open(ckpt_path + ".tmp", "w") as f:
-                json.dump({"batches_done": batches_done}, f)
+                json.dump({"batches_done": batches_done,
+                           "bytes_done": out.tell()}, f)
             os.replace(ckpt_path + ".tmp", ckpt_path)
 
     def pad_batch(batch):

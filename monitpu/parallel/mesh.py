@@ -18,8 +18,9 @@ psum per backward step; bit-parity pinned on a virtual CPU mesh by
 tests/test_shard_index.py). The honest device-memory arithmetic for
 the aligner-path tables (ops/ms.prepare_tables_host layout):
 
-    per position: run_idx 4 B + text 1.25 B + phi/phiinv kd_u8 2 B
-                  + phi block anchors ~0.13 B          ~= 7.4 B/pos
+    per position: run_idx 4 B + text 0.5 B (one nibble-row encoding
+                  since round 5) + phi/phiinv kd_u8 2 B
+                  + phi block anchors ~0.13 B          ~= 6.6 B/pos
     per run:      lf8 (SIGMA x 8 x int32) 192 B
                   + phi3/phiinv3 rows ~24 B            ~= 216 B/run
 

@@ -66,6 +66,52 @@ def test_align_resume(data):
     assert not (data / "part.sam.ckpt.json").exists()  # removed on success
 
 
+def test_align_kill_and_resume(data):
+    """Real SIGKILL mid-run (VERDICT r4 next #9): kill the aligner once
+    >= 2 batches are checkpointed, then --resume; the final SAM must be
+    byte-identical to an uninterrupted run regardless of where the kill
+    landed (bytes_done truncation covers a kill between the SAM flush
+    and the checkpoint write)."""
+    import json
+    import subprocess as sp
+    import time
+    full = data / "kfull.sam"
+    _run(["align", "-i", str(data / "idx"), "-p", str(data / "reads.fq"),
+          "-o", str(full), "-b", "8", "--engine", "cpu"])
+    part = data / "kpart.sam"
+    ckpt = data / "kpart.sam.ckpt.json"
+    p = sp.Popen([sys.executable, "-m", "monitpu.cli", "align",
+                  "-i", str(data / "idx"), "-p", str(data / "reads.fq"),
+                  "-o", str(part), "-b", "8", "--engine", "cpu"],
+                 env=_env(), cwd=REPO, stdout=sp.DEVNULL, stderr=sp.DEVNULL)
+    deadline = time.time() + 300
+    while time.time() < deadline and p.poll() is None:
+        try:
+            if json.loads(ckpt.read_text()).get("batches_done", 0) >= 2:
+                break
+        except Exception:
+            pass
+        time.sleep(0.02)
+    if p.poll() is None:
+        p.kill()      # exact PID, mid-run
+        p.wait()
+    # if the run outraced the poll and completed, --resume with no
+    # sidecar degenerates to a clean re-run — equality must still hold
+    _run(["align", "-i", str(data / "idx"), "-p", str(data / "reads.fq"),
+          "-o", str(part), "-b", "8", "--engine", "cpu", "--resume"])
+    assert part.read_bytes() == full.read_bytes()
+    assert not ckpt.exists()
+
+
+def test_build_log_tee(data):
+    """<prefix>.monitpu.log operational build record (moni.in:94-111)."""
+    logf = data / "idx.monitpu.log"
+    assert logf.exists()
+    text = logf.read_text()
+    assert "monitpu build:" in text
+    assert "build complete" in text
+
+
 def test_swcheck(data):
     p = _run(["swcheck", "-n", "64", "--qlen", "60", "--tlen", "120"])
     assert b"swcheck: OK" in p.stderr

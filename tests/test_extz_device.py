@@ -13,6 +13,14 @@ import pytest
 
 from monitpu.oracle.ksw2 import extz as host_extz
 from monitpu.ops.extz import extz_score_batch, run_extz_jobs, job_caps
+from monitpu.ops.ms import nib_rows
+
+
+def _nib(text):
+    """int8 text -> device nibble-row table (pad so window gathers of
+    any in-text start stay in range, as prepare_tables_host does)."""
+    return jnp.asarray(nib_rows(np.concatenate(
+        [np.asarray(text, np.uint8), np.zeros(4096, np.uint8)])))
 
 
 class SW:
@@ -59,7 +67,7 @@ def _run_device(cases, QMAX, TMAX, sm=2, sx=4, go=4, ge=2):
         tpos[j] = cur
         cur += len(t) + 3
     mqe, mqt, cor = extz_score_batch(
-        jnp.asarray(text), jnp.asarray(lanes), jnp.asarray(qrow),
+        _nib(text), jnp.asarray(lanes), jnp.asarray(qrow),
         jnp.asarray(qoff), jnp.asarray(qrev.astype(bool)),
         jnp.asarray(qlen), jnp.asarray(tpos),
         jnp.asarray(trev.astype(bool)), jnp.asarray(tlen),
@@ -150,7 +158,8 @@ def test_run_extz_jobs_tiering(rng):
     J = 64
     M = cfg.read_pad
     lanes = jnp.asarray(rng.integers(1, 5, size=(8, M)).astype(np.int32))
-    text = jnp.asarray(rng.integers(1, 5, size=4096).astype(np.int8))
+    text_np = rng.integers(1, 5, size=4096).astype(np.int8)
+    text = _nib(text_np)
     jobs = {
         "qrow": rng.integers(0, 8, size=J).astype(np.int32),
         "qoff": np.zeros(J, np.int32),
@@ -165,7 +174,7 @@ def test_run_extz_jobs_tiering(rng):
     mqe, mqt, cor = run_extz_jobs(text, lanes, jobs, cfg.read_pad,
                                   cfg.ext_len, cfg.sw)
     ln = np.asarray(lanes)
-    tx = np.asarray(text)
+    tx = text_np
     for j in range(J):
         ql, tl = int(jobs["qlen"][j]), int(jobs["tlen"][j])
         if jobs["qrev"][j]:
