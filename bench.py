@@ -269,23 +269,31 @@ def bench_big(mb):
                       tables_cache=bench_prefix(mb) + ".tables.npz")
     log(f"big tables on device: {time.time()-t0:.1f}s")
     rng = np.random.default_rng(31)
-    n_reads = 3 * BATCH
+    n_reads = 5 * BATCH   # 2-deep pipeline needs a few batches to fill
     reads, truth = sample_reads(idx, lift, n_reads, rng)
     t0 = time.time()
     aligner.complete_batch_sam(aligner.submit_batch(reads[:BATCH]))
     log(f"big warmup+compile: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    pending = None
     n_done = acc_ok = acc_tot = 0
     truth_arr = np.asarray(truth, np.int64)
     ref_id = list(idx.seq_names).index("ref")
-    for off in list(range(0, n_reads, BATCH)) + [None]:
+    # same 2-deep pipeline as the main SE loop (submit k+1, begin k,
+    # finish k-1) — the round-4 1-deep order serialized plan+resolve
+    # behind the next seed stage on the FIFO device queue
+    from collections import deque
+    subq, begq = deque(), deque()
+    for off in list(range(0, n_reads, BATCH)) + [None, None]:
         if off is not None:
-            h = aligner.submit_batch(reads[off:off + BATCH])
-        if pending is not None:
-            st, o_off = pending
-            _, o = aligner.finish_complete_sam(aligner.begin_complete_sam(st))
+            subq.append((aligner.submit_batch(reads[off:off + BATCH]), off))
+        draining = off is None
+        if len(subq) >= (2 if not draining else 1):
+            h, o_off = subq.popleft()
+            begq.append((aligner.begin_complete_sam(h), o_off))
+        if len(begq) >= (2 if not draining else 1):
+            st, o_off = begq.popleft()
+            _, o = aligner.finish_complete_sam(st)
             B = len(o["flag"])
             n_done += B
             t = truth_arr[o_off:o_off + B]
@@ -293,7 +301,6 @@ def bench_big(mb):
                 (np.abs((o["pos"] - 1) - t) <= ACC_TOL)
             acc_ok += int(ok.sum())
             acc_tot += int(((o["flag"] & 4) == 0).sum())
-        pending = (h, off) if off is not None else None
     rps = n_done / (time.time() - t0)
     ncpu = multiprocessing.cpu_count()
     cpu = Aligner(idx, AlignConfig(engine="cpu", postseed_threads=ncpu),

@@ -80,8 +80,12 @@ class AlignConfig:
     filter_seeds: bool = True        # -s disables
     left_mem_check: bool = True      # -a disables (check_left_MEM)
     postseed_threads: int = 8
-    pack_seeds_per_read: int = 8     # seed-record transfer budget
-    pack_occs_per_read: int = 48     # occurrence-pool transfer budget
+    # transfer budgets, shared by SE and the PE split calls (same wire
+    # shape = shared executables). PE's matching-orientation call packs
+    # ~8.2 seeds/pair incl. halves — 12 covers it with margin (overflow
+    # falls back to a dense pull, counted in seed_pack_overflow)
+    pack_seeds_per_read: int = 12    # seed-record transfer budget
+    pack_occs_per_read: int = 56     # occurrence-pool transfer budget
     # device table layout: "fused" = 2-gather LF step (4 B/pos +
     # 192 B/run), "compact" = 5-gather LF step (1.07 B/pos + 128 B/run)
     # for indexes whose fused tables overflow HBM (parallel/mesh.py)
@@ -123,9 +127,25 @@ class Aligner:
                  liftidx=None, tables_cache=None):
         self.index = index
         self.cfg = config
-        self.tables = (prepare_tables(index, cache=tables_cache,
-                                      layout=config.table_layout)
-                       if config.engine != "cpu" else None)
+        self._tables_cache = tables_cache
+        self._index_mesh = None       # index-sharded mode (beyond-HBM)
+        self._sharded = None
+        self._sharded_runner_cache = {}
+        self._sharded_extz = None
+        layout = config.table_layout
+        if layout == "auto" and config.engine != "cpu":
+            from ..parallel.mesh import choose_table_layout
+            layout = choose_table_layout(index)
+        if config.engine == "cpu":
+            self.tables = None
+        elif layout == "sharded":
+            # beyond-HBM / beyond-int32: position-range-shard the index
+            # over every available device instead of replicating it
+            self.tables = None
+            self.enable_index_sharding()
+        else:
+            self.tables = prepare_tables(index, cache=tables_cache,
+                                         layout=layout)
         self.seq_starts = np.asarray(index.seq_starts)
         self.seq_names = list(index.seq_names)
         self.liftidx = liftidx
@@ -141,6 +161,7 @@ class Aligner:
         # cache has seen (VERDICT r4 next #2).
         self._pool_work = None
         self._pool_mems = None
+        self._pool_occw = None
         self._pools_path = (tables_cache + ".pools.json"
                             if tables_cache and config.engine != "cpu"
                             else None)
@@ -156,6 +177,8 @@ class Aligner:
                     if p.get("mems"):
                         self._pool_mems = max(int(p["mems"]),
                                               config.max_mems)
+                    if p.get("occw"):
+                        self._pool_occw = max(int(p["occw"]), 8)
             except Exception:
                 pass
 
@@ -166,15 +189,63 @@ class Aligner:
             import json
             with open(self._pools_path, "w") as f:
                 f.write(json.dumps({"work": self._pool_work,
-                                    "mems": self._pool_mems}))
+                                    "mems": self._pool_mems,
+                                    "occw": self._pool_occw}))
         except Exception:
             pass
 
     def seed_pools(self):
-        """(max_mems, lce work lanes/row) for the next seed dispatch."""
+        """(max_mems, lce work lanes/row, occ worklist lanes/row) for
+        the next seed dispatch."""
         cfg = self.cfg
         return (self._pool_mems or cfg.max_mems,
-                self._pool_work or cfg.lce_work or AUTO_WORK_PER_READ)
+                self._pool_work or cfg.lce_work or AUTO_WORK_PER_READ,
+                self._pool_occw or 8)
+
+    def enable_index_sharding(self, n_devices=None):
+        """Position-range-shard the index tables over a device mesh —
+        the beyond-HBM / beyond-int32 configuration (parallel/
+        shard_index.py): each device holds ~1/D of every big table,
+        reads replicate, and every table gather is a masked local
+        gather + psum. Mutually exclusive with enable_mesh (data
+        parallelism over reads). The seed stage AND the device extz
+        score pass run sharded; results are bit-identical to the
+        replicated layout (tests/test_shard_index.py)."""
+        from ..parallel.mesh import make_mesh
+        from ..parallel.shard_index import (shard_seed_tables,
+                                            stage_sharded,
+                                            make_sharded_extz)
+        from ..ops.ms import prepare_tables_host, load_prepared
+        if self.mesh is not None:
+            raise ValueError("index sharding and read-data parallelism "
+                             "are separate meshes; enable one")
+        host = (load_prepared(self._tables_cache, self.index)
+                if self._tables_cache else None)
+        if host is None or "lf8" not in host:
+            host = prepare_tables_host(self.index, layout="fused")
+        self._index_mesh = make_mesh(n_devices)
+        D = self._index_mesh.devices.size
+        self._sharded = stage_sharded(self._index_mesh,
+                                      shard_seed_tables(host, D))
+        self._sharded_extz = make_sharded_extz(self._index_mesh,
+                                               self._sharded)
+        self._sharded_runner_cache = {}
+        self.tables = None
+        return self._index_mesh
+
+    def _sharded_runner(self, B, M, max_mems, work, W, OC, occw=8):
+        """Cached compiled sharded seed stage for one shape/pool tuple."""
+        from ..parallel.shard_index import make_sharded_seed_stage
+        key = (B, M, max_mems, work, W, OC, occw)
+        run = self._sharded_runner_cache.get(key)
+        if run is None:
+            run = make_sharded_seed_stage(
+                self._index_mesh, self._sharded, max_mems=max_mems,
+                min_len=self.cfg.min_len, work_per_read=work,
+                max_occs=self.cfg.max_occs, W=W, occ_cap=OC,
+                occs_work=occw)
+            self._sharded_runner_cache[key] = run
+        return run
 
     def enable_mesh(self, n_devices=None):
         """Data-parallel execution over a device mesh: index tables
@@ -250,22 +321,18 @@ class Aligner:
                 return dict(reads=reads, seeds=seeds, wire=wire,
                             sharded=True, lanes=lanes, fwd=fwd, rc=rc,
                             lens=lens)
-            max_mems, work = self.seed_pools()
-            from ..ops.occs import seed_stage_fused
+            max_mems, work, occw = self.seed_pools()
             with phase_timer("device dispatch"):
-                lanes = jnp.concatenate(
-                    [self.put_batch(fwd), self.put_batch(rc)], axis=0)
-                lens2 = jnp.concatenate([self.put_batch(lens)] * 2, axis=0)
+                W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
                 # one fused dispatch; the wire is compact for transfer:
                 # the dense arrays are ~97% padding and the device->host
                 # link is the bottleneck (ONE fused wire vector incl.
                 # the truncation counters — the tunnel charges ~25 ms
                 # latency per transfer)
-                W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
-                seeds, wire = seed_stage_fused(
-                    self.tables, lanes, lens2, max_mems=max_mems,
-                    min_len=cfg.min_len, work_per_read=work,
-                    max_occs=cfg.max_occs, W=W, occ_cap=OC)
+                seeds, wire, lanes = self._seed_dispatch(
+                    np.concatenate([fwd, rc]),
+                    np.concatenate([lens, lens]), max_mems, work, W, OC,
+                    occw)
                 self._prefetch_wire(wire)
             return dict(reads=reads, seeds=seeds, wire=wire, W=W,
                         occ_cap=OC, lanes=lanes, fwd=fwd, rc=rc,
@@ -285,7 +352,7 @@ class Aligner:
         return config_from_align(self.cfg)
 
     def _seed_stage_sharded(self, lane_arrays, lane_lens, max_mems=None,
-                            work=None):
+                            work=None, occw=None):
         """SPMD seed stage: find_mems + populate_seeds + pack under
         shard_map, so the worklist compactions (batch-global cumsums in
         ops/ms and ops/occs) stay PER-SHARD — no cross-shard resharding,
@@ -307,9 +374,10 @@ class Aligner:
         W = (n_lanes // 2) * cfg.pack_seeds_per_read * lb
         occ_cap = (n_lanes // 2) * cfg.pack_occs_per_read * lb
 
-        pool_mems, pool_work = self.seed_pools()
+        pool_mems, pool_work, pool_occw = self.seed_pools()
         max_mems = max_mems or pool_mems
         work = work or pool_work
+        pool_occw = occw or pool_occw
 
         def stage(tables, *shards):
             lanes = jnp.concatenate(shards[:n_lanes], axis=0)
@@ -318,9 +386,11 @@ class Aligner:
                 tables, lanes, lens2, max_mems=max_mems,
                 min_len=cfg.min_len, work_per_read=work)
             seeds = populate_seeds_batch(
-                tables, *mems, max_occs=cfg.max_occs, min_len=cfg.min_len)
+                tables, *mems, max_occs=cfg.max_occs, min_len=cfg.min_len,
+                occs_work=pool_occw)
             ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
-                              seeds.pop("occ_capped")])
+                              seeds.pop("occ_capped"),
+                              seeds.pop("work_dropped")])
             wire = pack_seeds_wire(seeds, W=W, occ_cap=occ_cap, ctrs=ctrs)
             return seeds, wire
 
@@ -415,15 +485,22 @@ class Aligner:
             pass   # non-jax array (tests) or backend without support
 
     def _note_ctrs(self, c):
-        """Truncation counters (LCE pool, MEM cap, occ-walk cap) into
-        stats — non-zero means pools should be resized (-> AlignConfig
-        max_mems / max_occs / lce_work). The counters ride the wire
-        header (pack_seeds_wire), so no separate device pull."""
+        """Truncation counters (LCE pool, MEM cap, occ-walk cap, occ
+        worklist pool) into stats — non-zero means pools should be
+        resized. The counters ride the wire header (pack_seeds_wire),
+        so no separate device pull."""
         for i, k in enumerate(("lce_overflow", "mem_overflow",
-                               "occ_walk_capped")):
-            if c[i]:
+                               "occ_walk_capped", "seed_work_overflow")):
+            if i < len(c) and c[i]:
                 self.stats[k] = self.stats.get(k, 0) + int(c[i])
         return c
+
+    @staticmethod
+    def _ctrs_clear(c):
+        """Retryable counters (LCE pool, MEM cap, occ worklist) all
+        zero? (index 2, the occ-walk cap, is deliberately not retried —
+        both engines share the max_occs knob.)"""
+        return c[0] == 0 and c[1] == 0 and (len(c) < 4 or c[3] == 0)
 
     def _pull_seeds(self, h, n_lanes=2):
         """Pull the packed seeds + counters, retrying with enlarged
@@ -442,10 +519,9 @@ class Aligner:
         else:
             packed, c = self._pull_wire(h)
         c = self._note_ctrs(c)
-        if c[0] == 0 and c[1] == 0:
+        if self._ctrs_clear(c):
             return h, packed
         cfg = self.cfg
-        from ..ops.occs import seed_stage_fused
         if n_lanes == 2:
             arrays = [h["fwd"], h["rc"]]
             lens = [h["lens"], h["lens"]]
@@ -457,7 +533,7 @@ class Aligner:
         M = arrays[0].shape[1]
         W = (n_lanes // 2) * cfg.pack_seeds_per_read * B
         OC = (n_lanes // 2) * cfg.pack_occs_per_read * B
-        max_mems, work = self.seed_pools()
+        max_mems, work, occw = self.seed_pools()
         for attempt in range(3):
             # counter-informed resize. The LCE pool is batch-global, so
             # dropped/rows is the EXACT extra per-row need for this
@@ -470,6 +546,9 @@ class Aligner:
             if c[1]:
                 max_mems = min(M, max(max_mems * 2,
                                       max_mems + int(c[1])))
+            if len(c) > 3 and c[3]:
+                occw = -(-(occw + 2 * int(-(-int(c[3]) // n_rows)) + 2)
+                         // 2) * 2
             self.stats["seed_pool_retries"] = (
                 self.stats.get("seed_pool_retries", 0) + 1)
             if self.mesh is not None:
@@ -478,29 +557,25 @@ class Aligner:
                 # not silently serialize onto one device
                 with phase_timer("device dispatch (pool retry, sharded)"):
                     seeds, wire, lanes = self._seed_stage_sharded(
-                        arrays, lens, max_mems=max_mems, work=work)
+                        arrays, lens, max_mems=max_mems, work=work,
+                        occw=occw)
                 h = dict(h)
                 h["seeds"], h["wire"], h["lanes"] = seeds, wire, lanes
                 packed, c = self._merge_sharded_pack(h, n_lanes)
-                if c[0] == 0 and c[1] == 0:
+                if self._ctrs_clear(c):
                     break
                 continue
             with phase_timer("device dispatch (pool retry)"):
-                lanes = jnp.concatenate([self.put_batch(a)
-                                         for a in arrays], axis=0)
-                lens2 = jnp.concatenate([self.put_batch(l)
-                                         for l in lens], axis=0)
-                seeds, wire = seed_stage_fused(
-                    self.tables, lanes, lens2, max_mems=max_mems,
-                    min_len=cfg.min_len, work_per_read=work,
-                    max_occs=cfg.max_occs, W=W, occ_cap=OC)
+                seeds, wire, lanes = self._seed_dispatch(
+                    np.concatenate(arrays), np.concatenate(lens),
+                    max_mems, work, W, OC, occw)
             h = dict(h)
             h["seeds"], h["wire"] = seeds, wire
             h["W"], h["occ_cap"] = W, OC
             if "lanes" in h:
                 h["lanes"] = lanes
             packed, c = self._pull_wire(h, timer="device wait (retry)")
-            if c[0] == 0 and c[1] == 0:
+            if self._ctrs_clear(c):
                 break
         # sticky: later batches dispatch with the converged pools
         # directly — a workload that needs bigger pools pays the
@@ -508,11 +583,32 @@ class Aligner:
         # persist sizes that actually converged (counters cleared);
         # an exhausted retry must not pin insufficient-but-huge pools
         # on a long-lived Aligner (ADVICE r3).
-        if c[0] == 0 and c[1] == 0:
+        if self._ctrs_clear(c):
             self._pool_work = max(self._pool_work or 0, work)
             self._pool_mems = max(self._pool_mems or 0, max_mems)
+            self._pool_occw = max(self._pool_occw or 0, occw)
             self._save_pools()
         return h, packed
+
+    def _seed_dispatch(self, lanes, lens2, max_mems, work, W, OC,
+                       occw=8):
+        """One fused seed-stage device dispatch, routed to the
+        replicated tables or the index-sharded stage. lanes/lens2:
+        numpy (or device) row arrays. Returns (seeds, wire,
+        lanes_dev)."""
+        from ..ops.occs import seed_stage_fused
+        if self._index_mesh is not None:
+            run = self._sharded_runner(int(lanes.shape[0]),
+                                       int(lanes.shape[1]),
+                                       max_mems, work, W, OC, occw)
+            return run(lanes, lens2)
+        lanes_dev = self.put_batch(lanes)
+        seeds, wire = seed_stage_fused(
+            self.tables, lanes_dev, self.put_batch(lens2),
+            max_mems=max_mems, min_len=self.cfg.min_len,
+            work_per_read=work, max_occs=self.cfg.max_occs, W=W,
+            occ_cap=OC, occs_work=occw)
+        return seeds, wire, lanes_dev
 
     def _pull_one_wire(self, wire, seeds, W, occ_cap, timer="device wait"):
         """Pull + unpack ONE packed-seed wire (dense fallback on pack
@@ -537,7 +633,6 @@ class Aligner:
         independently with precisely resized pools; the two packed dicts
         merge with call-B rows shifted by 2B (PE global row layout
         [m1F, m2RC, m2F, m1RC])."""
-        from ..ops.occs import seed_stage_fused
         cfg = self.cfg
         seeds_l, wires = list(h["seeds"]), list(h["wire"])
         parts = []
@@ -547,9 +642,9 @@ class Aligner:
             c = self._note_ctrs(c)
             lanes_i, lens_i = h["lanes_parts"][i]
             n_rows = int(lanes_i.shape[0])
-            max_mems, work = self.seed_pools()
+            max_mems, work, occw = self.seed_pools()
             for attempt in range(3):
-                if c[0] == 0 and c[1] == 0:
+                if self._ctrs_clear(c):
                     break
                 if c[0]:
                     work = -(-(work + int(-(-int(c[0]) // n_rows)) + 8)
@@ -557,20 +652,22 @@ class Aligner:
                 if c[1]:
                     max_mems = min(int(lanes_i.shape[1]),
                                    max(max_mems * 2, max_mems + int(c[1])))
+                if len(c) > 3 and c[3]:
+                    occw = -(-(occw + 2 * int(-(-int(c[3]) // n_rows)) + 2)
+                             // 2) * 2
                 self.stats["seed_pool_retries"] = (
                     self.stats.get("seed_pool_retries", 0) + 1)
                 with phase_timer("device dispatch (pool retry)"):
-                    seeds_l[i], wires[i] = seed_stage_fused(
-                        self.tables, lanes_i, lens_i, max_mems=max_mems,
-                        min_len=cfg.min_len, work_per_read=work,
-                        max_occs=cfg.max_occs, W=h["W"],
-                        occ_cap=h["occ_cap"])
+                    seeds_l[i], wires[i], _ = self._seed_dispatch(
+                        lanes_i, lens_i, max_mems, work,
+                        h["W"], h["occ_cap"], occw)
                 packed, c = self._pull_one_wire(
                     wires[i], seeds_l[i], h["W"], h["occ_cap"],
                     timer="device wait (retry)")
-            if c[0] == 0 and c[1] == 0:
+            if self._ctrs_clear(c):
                 self._pool_work = max(self._pool_work or 0, work)
                 self._pool_mems = max(self._pool_mems or 0, max_mems)
+                self._pool_occw = max(self._pool_occw or 0, occw)
                 self._save_pools()
             parts.append(packed)
         h = dict(h)
@@ -607,12 +704,17 @@ class Aligner:
         from ..ops.extz import (dispatch_extz_jobs, collect_extz_jobs,
                                 job_caps)
         cfg = self.cfg
-        text, lanes = self.tables["text_nibr"], h["lanes"]
+        lanes = h["lanes"]
+        if self._index_mesh is not None:
+            text, score = None, self._sharded_extz
+        else:
+            text, score = self.tables["text_nibr"], None
 
         def dispatch(jobs):
             with phase_timer("device extz dispatch"):
                 return dispatch_extz_jobs(text, lanes, jobs, cfg.read_pad,
-                                          cfg.ext_len, cfg.sw)
+                                          cfg.ext_len, cfg.sw,
+                                          score=score)
 
         def collect(fut):
             with phase_timer("device extz collect"):
@@ -734,8 +836,9 @@ class Aligner:
                                       work_per_read=cfg.lce_work or 96)
         seeds = populate_seeds_batch(self.tables, *mems,
                                      max_occs=cfg.max_occs,
-                                     min_len=cfg.min_len)
+                                     min_len=cfg.min_len, occs_work=16)
         seeds.pop("occ_capped", None)
+        seeds.pop("work_dropped", None)
         return {k: np.asarray(v) for k, v in seeds.items()}, rcs
 
     def report_mems_batch(self, reads):

@@ -123,8 +123,7 @@ class PairedAligner:
                         wire=wire, sharded=True, lanes=lanes,
                         m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                         len1=len1, len2=len2)
-        max_mems, work = al.seed_pools()
-        from ..ops.occs import seed_stage_fused
+        max_mems, work, occw = al.seed_pools()
         with phase_timer("pe device dispatch"):
             # TWO SE-shaped dispatches ([m1F, m2RC] and [m2F, m1RC])
             # instead of one 4-lane call: with B pairs == the SE batch
@@ -132,26 +131,23 @@ class PairedAligner:
             # adds ZERO compile time on top of SE warmup (VERDICT r4
             # next #3; the 4-lane shape cost a second ~147 s warmup).
             # The packed wires merge host-side: call-A rows are already
-            # the PE rows [0, 2B), call-B rows shift by 2B.
-            lanes_a = al.put_batch(np.concatenate([m1f, m2r]))
-            lens_a = al.put_batch(np.concatenate([len1, len2]))
-            lanes_b = al.put_batch(np.concatenate([m2f, m1r]))
-            lens_b = al.put_batch(np.concatenate([len2, len1]))
+            # the PE rows [0, 2B), call-B rows shift by 2B. The routing
+            # (_seed_dispatch) also serves index-sharded tables.
+            la = np.concatenate([m1f, m2r])
+            ln_a = np.concatenate([len1, len2])
+            lb = np.concatenate([m2f, m1r])
+            ln_b = np.concatenate([len2, len1])
             W, OC = cfg.pack_seeds_per_read * B, cfg.pack_occs_per_read * B
-            seeds_a, wire_a = seed_stage_fused(
-                al.tables, lanes_a, lens_a, max_mems=max_mems,
-                min_len=cfg.min_len, work_per_read=work,
-                max_occs=cfg.max_occs, W=W, occ_cap=OC)
-            seeds_b, wire_b = seed_stage_fused(
-                al.tables, lanes_b, lens_b, max_mems=max_mems,
-                min_len=cfg.min_len, work_per_read=work,
-                max_occs=cfg.max_occs, W=W, occ_cap=OC)
+            seeds_a, wire_a, lanes_a = al._seed_dispatch(
+                la, ln_a, max_mems, work, W, OC, occw)
+            seeds_b, wire_b, lanes_b = al._seed_dispatch(
+                lb, ln_b, max_mems, work, W, OC, occw)
             al._prefetch_wire(wire_a)
             al._prefetch_wire(wire_b)
             lanes = jnp.concatenate([lanes_a, lanes_b], axis=0)
         return dict(batch1=batch1, batch2=batch2, split=True,
                     seeds=(seeds_a, seeds_b), wire=(wire_a, wire_b),
-                    lanes_parts=((lanes_a, lens_a), (lanes_b, lens_b)),
+                    lanes_parts=((la, ln_a), (lb, ln_b)),
                     W=W, occ_cap=OC, lanes=lanes,
                     m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                     len1=len1, len2=len2)
@@ -263,8 +259,9 @@ class PairedAligner:
                                       work_per_read=cfg.lce_work or 96)
         seeds = populate_seeds_batch(self.al.tables, *mems,
                                      max_occs=cfg.max_occs,
-                                     min_len=cfg.min_len)
+                                     min_len=cfg.min_len, occs_work=16)
         seeds.pop("occ_capped", None)
+        seeds.pop("work_dropped", None)
         return {k: np.asarray(v) for k, v in seeds.items()}
 
     def report_mems_pair_batch(self, batch1, batch2):

@@ -175,13 +175,18 @@ def job_caps(read_pad, ext_len):
 _J_HIGH_WATER = {}
 
 
-def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
+def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw,
+                       score=None):
     """Dispatch a numpy job dict through the tiered device kernels
     ASYNCHRONOUSLY: returns a continuation state whose device work is
     enqueued now (so the caller can enqueue the NEXT batch's seed stage
     behind it — the device queue is FIFO) and collected later by
     collect_extz_jobs. All tiers' results ride ONE fused [3, sum(Jp)]
-    device array = one device->host pull (~25 ms/transfer tunnel)."""
+    device array = one device->host pull (~25 ms/transfer tunnel).
+
+    score: extz_score_fused-compatible callable override (the
+    index-sharded path binds its sharded text rows there and ignores
+    the text argument; parallel/shard_index.make_sharded_extz)."""
     J = jobs["qrow"].shape[0]
     if J == 0:
         return (J, [], None)
@@ -210,7 +215,7 @@ def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw):
             fused[r, :idx.size] = jobs[k][idx]
         fused[3, idx.size:] = 1     # qlen pad: valid 1x1 DPs
         fused[6, idx.size:] = 1     # tlen pad
-        mqe, mqt, cor = extz_score_fused(
+        mqe, mqt, cor = (score or extz_score_fused)(
             text, lanes, jnp.asarray(fused),
             QMAX=tier[0], TMAX=tier[1],
             sm=sw.smatch, sx=sw.smismatch, go=sw.gapo, ge=sw.gape)

@@ -159,7 +159,11 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     Valid MEMs (typically a handful of the K slots) are compacted into a
     flat occs_work*B-lane worklist before the Phi walks so lockstep walk
     rounds only pay for real seeds; left/right half-seeds ride a second
-    worklist seeded by the parent walks' far endpoints."""
+    (occs_work//2)*B-lane worklist seeded by the parent walks' far
+    endpoints. Overflow of EITHER worklist drops seeds and is COUNTED
+    (``work_dropped``) so the aligner's exact-retry can resize
+    occs_work — round 5 found the former silent W2 cliff dropping
+    half-seeds on orientation-skewed PE lanes."""
     B, K = mem_ptr.shape
     L = B * K
     f = lambda x: x.reshape(-1)
@@ -169,6 +173,7 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     # ---- worklist 1: parent MEMs ----
     W1 = occs_work * B
     src1, act1 = _compact(valid, W1)
+    dropped1 = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - W1, 0)
     onesW = jnp.ones((W1,), bool)
     occs_w, cnt_w, fup_w, fdn_w, cap_w = enumerate_occs(
         tables, ptr[src1], ptr[src1], mlen[src1], act1, onesW, max_occs)
@@ -180,7 +185,9 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     split = valid & (mlen >= 2 * min_len)
     ll = mlen >> 1
     lr = mlen - ll
-    W2 = 2 * B
+    W2 = max(occs_work // 2, 2) * B
+    dropped2 = jnp.maximum(
+        2 * jnp.sum(split.astype(jnp.int32)) - W2, 0)
     src2, act2 = _compact(jnp.concatenate([split, split]), W2)
     is_left = src2 < L
     p = jnp.where(is_left, src2, src2 - L)
@@ -221,6 +228,7 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
         jnp.int32)
     return {
         "occ_capped": occ_capped,
+        "work_dropped": (dropped1 + dropped2).astype(jnp.int32),
         "occs": occs_o.reshape(B, S, max_occs),
         "cnt": cnt_o.reshape(B, S),
         "len": scat(mlen[src1], h_len).reshape(B, S),
@@ -279,7 +287,7 @@ def pack_seeds_wire(seeds, W, occ_cap, ctrs=None):
     """pack_seeds flattened into ONE int32 wire vector for a single
     device->host pull: the tunnel charges ~25 ms latency PER transfer
     (measured), so per-key pulls cost more than the payload. Layout:
-    [n_valid, n_occ, lce_dropped, mem_dropped, occ_capped,
+    [n_valid, n_occ, lce_dropped, mem_dropped, occ_capped, work_dropped,
     row*S+slot (W), len<<16|idx (W), cnt (W), occ (occ_cap)]. The
     truncation counters ride the header so no separate counter pull is
     needed. 'off' is recomputable host-side (cumsum of cnt — identical
@@ -288,10 +296,10 @@ def pack_seeds_wire(seeds, W, occ_cap, ctrs=None):
     p = pack_seeds(seeds, W=W, occ_cap=occ_cap)
     S = seeds["len"].shape[1]
     if ctrs is None:
-        ctrs = jnp.zeros((3,), jnp.int32)
+        ctrs = jnp.zeros((WIRE_HDR - 2,), jnp.int32)
     return jnp.concatenate([
         p["n_valid"].reshape(1), p["n_occ"].reshape(1),
-        ctrs.astype(jnp.int32).reshape(3),
+        ctrs.astype(jnp.int32).reshape(WIRE_HDR - 2),
         p["row"] * S + p["slot"],
         (p["len"] << 16) | p["idx"],
         p["cnt"],
@@ -299,7 +307,7 @@ def pack_seeds_wire(seeds, W, occ_cap, ctrs=None):
     ])
 
 
-WIRE_HDR = 5
+WIRE_HDR = 6   # n_valid, n_occ, lce/mem/occ-cap/work counters
 
 
 def unpack_seeds_wire(buf, W, occ_cap, S):
@@ -328,9 +336,10 @@ def unpack_seeds_wire(buf, W, occ_cap, S):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_mems", "min_len", "work_per_read", "max_occs", "W", "occ_cap"))
+    "max_mems", "min_len", "work_per_read", "max_occs", "W", "occ_cap",
+    "occs_work"))
 def seed_stage_fused(tables, lanes, lens2, max_mems, min_len,
-                     work_per_read, max_occs, W, occ_cap):
+                     work_per_read, max_occs, W, occ_cap, occs_work=8):
     """find_mems + populate_seeds + pack_seeds_wire as ONE jitted
     program: a single device dispatch instead of three. Under the
     remote tunnel each dispatch pays a fixed round-trip (~10-25 ms);
@@ -341,8 +350,9 @@ def seed_stage_fused(tables, lanes, lens2, max_mems, min_len,
                                   max_mems=max_mems, min_len=min_len,
                                   work_per_read=work_per_read)
     seeds = populate_seeds_batch(tables, *mems, max_occs=max_occs,
-                                 min_len=min_len)
+                                 min_len=min_len, occs_work=occs_work)
     ctrs = jnp.stack([mctr["lce_dropped"], mctr["mem_dropped"],
-                      seeds.pop("occ_capped")])
+                      seeds.pop("occ_capped"),
+                      seeds.pop("work_dropped")])
     wire = pack_seeds_wire(seeds, W=W, occ_cap=occ_cap, ctrs=ctrs)
     return seeds, wire

@@ -75,3 +75,38 @@ def shard_batch(mesh, *arrays):
     sh = NamedSharding(mesh, P(READS_AXIS))
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def table_bytes(n, r, layout="fused"):
+    """Device-table HBM estimate (component breakdown in the module
+    docstring): fused 2-gather LF rows vs compact 5-gather rows."""
+    if layout == "compact":
+        return int(3.7 * n + 152 * r)
+    return int(6.6 * n + 216 * r)
+
+
+def device_hbm_bytes(default=16e9):
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        return float(ms.get("bytes_limit", default))
+    except Exception:
+        return float(default)
+
+
+def choose_table_layout(index, hbm_bytes=None, budget_frac=0.6):
+    """'fused' | 'compact' | 'sharded' from HBM arithmetic — the
+    AlignConfig(table_layout='auto') resolver. budget_frac leaves HBM
+    headroom for read batches, worklists, and XLA temporaries. Indexes
+    beyond int32 positions always shard (their 64-bit global indices
+    only fit the device path through shard-local int32 addressing,
+    parallel/shard_index.py)."""
+    import numpy as np
+    if index.n > 2**31 - 2 or np.asarray(index.run_starts).dtype == np.int64:
+        return "sharded"
+    budget = budget_frac * (hbm_bytes if hbm_bytes is not None
+                            else device_hbm_bytes())
+    if table_bytes(index.n, index.r, "fused") <= budget:
+        return "fused"
+    if table_bytes(index.n, index.r, "compact") <= budget:
+        return "compact"
+    return "sharded"

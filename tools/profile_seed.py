@@ -76,7 +76,8 @@ def main():
         def packit():
             s = dict(seeds)
             oc = s.pop("occ_capped")
-            ctrs = jnp.stack([oc, oc, oc])
+            wd = s.pop("work_dropped")
+            ctrs = jnp.stack([oc, oc, oc, wd])
             return pack_seeds_wire(s, W=8 * B, occ_cap=48 * B, ctrs=ctrs)
         ms_pk, wire = t(packit)
         tx0 = time.time()
