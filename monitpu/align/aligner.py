@@ -132,8 +132,15 @@ class Aligner:
         self._sharded = None
         self._sharded_runner_cache = {}
         self._sharded_extz = None
+        self.mesh = None              # read-data-parallel mode
+        self._batch_sharding = None
+        self.stats = {"processed": 0, "aligned": 0}
         layout = config.table_layout
-        if layout == "auto" and config.engine != "cpu":
+        if config.engine != "cpu" and (
+                layout == "auto" or index.n > 2**31 - 2
+                or np.asarray(index.run_starts).dtype == np.int64):
+            # beyond-int32 indexes always resolve through the chooser
+            # (-> sharded), whatever the configured layout
             from ..parallel.mesh import choose_table_layout
             layout = choose_table_layout(index)
         if config.engine == "cpu":
@@ -149,9 +156,6 @@ class Aligner:
         self.seq_starts = np.asarray(index.seq_starts)
         self.seq_names = list(index.seq_names)
         self.liftidx = liftidx
-        self.stats = {"processed": 0, "aligned": 0}
-        self.mesh = None
-        self._batch_sharding = None
         # sticky seed-pool sizes: exact-retry growth is remembered here
         # so a workload that overflows the default pools pays the retry
         # round-trip ONCE, not per batch — subsequent submits dispatch
@@ -223,6 +227,12 @@ class Aligner:
                 if self._tables_cache else None)
         if host is None or "lf8" not in host:
             host = prepare_tables_host(self.index, layout="fused")
+        if (np.asarray(host["F32"]).dtype == np.int64
+                and not jax.config.jax_enable_x64):
+            raise RuntimeError(
+                "beyond-int32 index sharding carries global positions "
+                "in int64: run with JAX_ENABLE_X64=1 (shard-local HBM "
+                "addressing stays int32; parallel/shard_index.py)")
         self._index_mesh = make_mesh(n_devices)
         D = self._index_mesh.devices.size
         self._sharded = stage_sharded(self._index_mesh,

@@ -88,7 +88,7 @@ def extz_score_batch(tnib, lanes, qrow, qoff, qrev, qlen,
     q = lanes[qrow[:, None], jnp.clip(qidx, 0, M - 1)].astype(jnp.int32)
 
     Tw = TMAX // 8
-    w_fwd = nib_window_words(tnib, tpos.astype(jnp.int32), Tw)
+    w_fwd = nib_window_words(tnib, tpos, Tw)   # int64 on wide indexes
     # reversed framing: char k = forward char tlen-1-k. Reverse the
     # whole aligned window, then shift left by (TMAX - tlen) chars.
     wr = jnp.concatenate(

@@ -111,8 +111,11 @@ def ms_pointers_batch(tables, reads, read_lens):
     returns ptr int32[B, M] (0 outside the read)."""
     B, M = reads.shape
     n = tables["n"]
-    pos0 = jnp.full((B,), n - 1, dtype=jnp.int32)
-    sample0 = jnp.full((B,), tables["sa_last"], dtype=jnp.int32)
+    # positions/samples carry the index dtype: int32 normally, int64 on
+    # beyond-2^31 indexes (served sharded; parallel/shard_index.py)
+    dt = tables["F32"].dtype
+    pos0 = jnp.full((B,), n - 1, dtype=dt)
+    sample0 = jnp.full((B,), tables["sa_last"], dtype=dt)
 
     reads_T = reads.T  # [M, B] for scan
 
@@ -146,12 +149,14 @@ def nib_window_words(t8, starts, T):
     device text encoding. starts may run past n (text is TEXT_PAD-padded
     with SEP rows); callers mask by their own lengths."""
     K = t8.shape[0]
-    starts = jnp.maximum(starts, 0).astype(jnp.int32)
+    starts = jnp.maximum(starts, 0)    # int32 or int64 (wide indexes)
     g0 = starts >> 8
     nrows = (8 * T + 2 * (NIB_ROW_CHARS - 1)) // NIB_ROW_CHARS
     rows = [t8[jnp.minimum(g0 + k, K - 1)] for k in range(nrows)]
     tw = jnp.concatenate(rows, axis=1)
-    return _shift_window(tw, starts & (NIB_ROW_CHARS - 1), T)
+    return _shift_window(tw,
+                         (starts & (NIB_ROW_CHARS - 1)).astype(jnp.int32),
+                         T)
 
 
 def nib_expand(w):
@@ -336,7 +341,8 @@ def _ms_lengths_core(tables, reads, read_lens, ptr,
     zW = jnp.zeros((W + 1,), jnp.int32)
     wb = zW.at[slot].set(rows, mode="drop")[:W]        # read id per lane
     wcol = zW.at[slot].set(cols, mode="drop")[:W]      # read offset
-    wptr_ = zW.at[slot].set(ptr.reshape(-1), mode="drop")[:W]
+    wptr_ = jnp.zeros((W + 1,), ptr.dtype).at[slot].set(
+        ptr.reshape(-1), mode="drop")[:W]
     total = jnp.sum(needy)
     wactive = jnp.arange(W) < jnp.minimum(total, W)
 
@@ -422,8 +428,9 @@ def find_mems_batch(tables, reads, read_lens, max_mems=16, min_len=25,
     srcm, actm = _compact(keep.reshape(-1), Wm)
     fl = lambda a: a.reshape(-1)[srcm]
     dest = jnp.where(actm, (srcm // M) * max_mems + fl(slot), Wm)
-    out = jnp.zeros((3, Wm + 1), jnp.int32).at[:, dest].set(
-        jnp.stack([fl(ptr), fl(lens), (srcm % M).astype(jnp.int32)]),
+    out = jnp.zeros((3, Wm + 1), ptr.dtype).at[:, dest].set(
+        jnp.stack([fl(ptr), fl(lens).astype(ptr.dtype),
+                   (srcm % M).astype(ptr.dtype)]),
         mode="drop")[:, :Wm].reshape(3, B, max_mems)
     return out[0], out[1], out[2], mem_count, {
         "lce_dropped": lce_dropped, "mem_dropped": mem_dropped}
@@ -499,18 +506,21 @@ def prepare_tables_host(index, layout="fused"):
     pangenome scale and was being paid once per process (VERDICT r2
     weak #2); staging a cached dict is pure I/O + H2D."""
     r, n = index.r, index.n
-    if n > 2**31 - 2 or index.run_starts.dtype == np.int64:
-        # beyond-int32 indexes exceed single-chip HBM anyway (lf8 alone
-        # is r*48B at int64); they are served by the 64-bit CPU engine
-        # (--engine cpu) or position-range index sharding
-        # (parallel/shard_index.py prototype; parallel/mesh.py has the
-        # crossover arithmetic)
+    # beyond-int32 indexes get int64-VALUED tables (positions/samples/
+    # thresholds don't fit int32); they are served on the device by
+    # position-range sharding (parallel/shard_index.py), where every
+    # HBM gather is still int32-addressed into a shard-local slice and
+    # only the carried global indices ride int64 (requires JAX x64).
+    # Single-chip replicated staging of a wide index is refused in
+    # prepare_tables below; the 64-bit CPU engine also serves them.
+    wide = n > 2**31 - 2 or index.run_starts.dtype == np.int64
+    IT = np.int64 if wide else np.int32
+    if wide and layout != "fused":
         raise NotImplementedError(
-            "device tables are int32; use engine='cpu' for indexes "
-            "beyond 2^31 positions")
-    d = {"n": np.int32(n), "r": np.int32(r), "sa0": np.int32(index.sa0),
-         "sa_last": np.int32(index.sa_last),
-         "F32": np.asarray(index.F, dtype=np.int32)}
+            "beyond-int32 indexes: only the fused layout is sharded")
+    d = {"n": IT(n), "r": IT(r), "sa0": IT(index.sa0),
+         "sa_last": IT(index.sa_last),
+         "F32": np.asarray(index.F, dtype=IT)}
 
     # Phi / Phi^-1 successor lookup: block anchor + uint8 delta + fused
     # (z, w, wl) 12B row gather (replaces a 22-step searchsorted chain)
@@ -524,9 +534,9 @@ def prepare_tables_host(index, layout="fused"):
         d[f"{name}_kblk"] = kb.astype(np.int32)
         d[f"{name}_kd_u8"] = (kq - kb[qs >> BLOCK_BITS]).astype(np.uint8)
         d[f"{name}3"] = np.stack(
-            [np.asarray(getattr(index, f"phi{pre}_z"), np.int32),
-             np.asarray(getattr(index, f"phi{pre}_w"), np.int32),
-             np.asarray(getattr(index, f"phi{pre}_wl"), np.int32)], axis=1)
+            [np.asarray(getattr(index, f"phi{pre}_z"), IT),
+             np.asarray(getattr(index, f"phi{pre}_w"), IT),
+             np.asarray(getattr(index, f"phi{pre}_wl"), IT)], axis=1)
 
     # ONE device text encoding (0.5 B/char): the nibble-row table serves
     # LCE, window extraction, and the device extz target fetch. The
@@ -567,7 +577,9 @@ def prepare_tables_host(index, layout="fused"):
     # random HBM gathers per backward step (was five). Trades ~1.3x
     # table bytes for the step-rate win; the aligner path drops the
     # unfused tables (SPUMONI keeps lf_core_tables' run2/rc4 layout).
-    d["run_idx"] = np.repeat(np.arange(r, dtype=np.int32), run_lens)
+    d["run_idx"] = np.repeat(
+        np.arange(r, dtype=np.int32 if r < 2**31 - 1 else np.int64),
+        run_lens)
     rr = index.run_crank.astype(np.int64)             # [r, SIGMA]
     cs = np.asarray(index.csamples_start)
     cl = np.asarray(index.csamples_last)
@@ -577,14 +589,14 @@ def prepare_tables_host(index, layout="fused"):
     sam_dn = cs[chars, np.clip(rr, 0, Rc - 1)]
     bcast = lambda a: np.broadcast_to(a[:, None], (r, SIGMA))
     lf8 = np.stack([
-        bcast(index.run_starts.astype(np.int32)),
-        bcast(index.run_heads.astype(np.int32)),
-        index.clen_at_run.astype(np.int32),
-        index.run_crank.astype(np.int32),
-        index.thr_cnt_run.astype(np.int32),
-        index.thr_pos_run.astype(np.int32),
-        sam_up.astype(np.int32),
-        sam_dn.astype(np.int32),
+        bcast(index.run_starts.astype(IT)),
+        bcast(index.run_heads.astype(IT)),
+        index.clen_at_run.astype(IT),
+        index.run_crank.astype(IT),
+        index.thr_cnt_run.astype(IT),
+        index.thr_pos_run.astype(IT),
+        sam_up.astype(IT),
+        sam_dn.astype(IT),
     ], axis=2)
     d["lf8"] = np.ascontiguousarray(lf8.reshape(r * SIGMA, 8))
     return d
@@ -625,6 +637,11 @@ def prepare_tables(index, cache=None, layout="fused"):
     cache: optional path of a prepared-tables npz; used when valid,
     (re)written otherwise. layout: see prepare_tables_host; compact
     caches carry a distinct marker so the two never cross-load."""
+    if index.n > 2**31 - 2 or index.run_starts.dtype == np.int64:
+        raise NotImplementedError(
+            "beyond-int32 indexes don't fit one chip: serve them with "
+            "Aligner.enable_index_sharding (device, requires JAX x64) "
+            "or engine='cpu'")
     host = load_prepared(cache, index) if cache else None
     if host is not None and ("lf8" in host) != (layout == "fused"):
         host = None

@@ -65,7 +65,7 @@ def enumerate_occs(tables, up_start, down_start, length, active,
     — used to seed the left-half walks without re-walking)."""
     L = up_start.shape[0]
     lanes = jnp.arange(L)
-    occs = jnp.zeros((L, max_occs + 1), jnp.int32)
+    occs = jnp.zeros((L, max_occs + 1), up_start.dtype)
     cnt = jnp.zeros((L,), jnp.int32)
 
     put = include_start & active & (length > 0)
@@ -214,14 +214,14 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
     dest1 = jnp.where(act1, dest_of(src1, 0), F)
     dest2 = jnp.where(act2, dest_of(p, jnp.where(is_left, K, 2 * K)), F)
 
-    occs_o = (jnp.zeros((F + 1, max_occs), jnp.int32)
+    occs_o = (jnp.zeros((F + 1, max_occs), occs_w.dtype)
               .at[dest1].set(occs_w, mode="drop")
               .at[dest2].set(hocc_w, mode="drop"))[:F]
 
     def scat(v1, v2, dtype=jnp.int32):
         return (jnp.zeros((F + 1,), dtype)
-                .at[dest1].set(v1, mode="drop")
-                .at[dest2].set(v2, mode="drop"))[:F]
+                .at[dest1].set(v1.astype(dtype), mode="drop")
+                .at[dest2].set(v2.astype(dtype), mode="drop"))[:F]
 
     cnt_o = scat(cnt_w, hcnt_w)
     occ_capped = (jnp.sum(cap_w & act1) + jnp.sum(hcap_w & act2)).astype(
@@ -231,10 +231,10 @@ def populate_seeds_batch(tables, mem_ptr, mem_len, mem_idx, mem_count,
         "work_dropped": (dropped1 + dropped2).astype(jnp.int32),
         "occs": occs_o.reshape(B, S, max_occs),
         "cnt": cnt_o.reshape(B, S),
-        "len": scat(mlen[src1], h_len).reshape(B, S),
+        "len": scat(mlen[src1], h_len, mlen.dtype).reshape(B, S),
         "idx": scat(midx[src1],
-                    jnp.where(is_left, midx[p], midx[p] + ll[p])
-                    ).reshape(B, S),
+                    jnp.where(is_left, midx[p], midx[p] + ll[p]),
+                    midx.dtype).reshape(B, S),
         "valid": (scat(act1, act2, bool).reshape(B, S)
                   & (cnt_o.reshape(B, S) > 0)),
     }
@@ -264,7 +264,7 @@ def pack_seeds(seeds, W, occ_cap):
     eff = jnp.clip(jnp.minimum(cw, occ_cap - off), 0, None)
     pos = off[:, None] + jnp.arange(O, dtype=jnp.int32)[None, :]
     ok = jnp.arange(O)[None, :] < eff[:, None]
-    occ_flat = jnp.zeros((occ_cap + 1,), jnp.int32).at[
+    occ_flat = jnp.zeros((occ_cap + 1,), occs.dtype).at[
         jnp.where(ok, pos, occ_cap)].set(
         occs.reshape(-1, O)[src], mode="drop")[:occ_cap]
     take = lambda name: jnp.where(
@@ -297,12 +297,13 @@ def pack_seeds_wire(seeds, W, occ_cap, ctrs=None):
     S = seeds["len"].shape[1]
     if ctrs is None:
         ctrs = jnp.zeros((WIRE_HDR - 2,), jnp.int32)
+    wt = p["occ"].dtype    # int64 wire on beyond-int32 indexes
     return jnp.concatenate([
-        p["n_valid"].reshape(1), p["n_occ"].reshape(1),
-        ctrs.astype(jnp.int32).reshape(WIRE_HDR - 2),
-        p["row"] * S + p["slot"],
-        (p["len"] << 16) | p["idx"],
-        p["cnt"],
+        p["n_valid"].reshape(1).astype(wt), p["n_occ"].reshape(1).astype(wt),
+        ctrs.astype(wt).reshape(WIRE_HDR - 2),
+        (p["row"] * S + p["slot"]).astype(wt),
+        ((p["len"] << 16) | p["idx"]).astype(wt),
+        p["cnt"].astype(wt),
         p["occ"],
     ])
 

@@ -4,8 +4,9 @@ The reference indexes beyond 2^31 by switching to 64-bit binaries
 (pipeline/moni.in:195-204); monitpu switches table dtypes in
 build_index_from_sa and routes the CPU engine through the _w64 seed
 kernel. Exercised here on small data via force_wide: the wide index
-must produce byte-identical SAM through the CPU engine, and the device
-path must refuse it loudly.
+must produce byte-identical SAM through the CPU engine; the device
+path serves it via position-range sharding under x64
+(tests/test_shard_index_wide.py) and refuses loudly without x64.
 """
 
 import numpy as np
@@ -47,9 +48,19 @@ def test_wide_index_cpu_engine_sam_identity(rng):
     assert a64.stats["aligned"] == len(reads)
 
 
-def test_wide_index_device_path_refuses(rng):
+def test_wide_index_device_path_routes_to_sharding(rng):
+    """Since round 5 the device path SERVES wide indexes via position-
+    range sharding (tests/test_shard_index_wide.py pins end-to-end SAM
+    parity under x64). Without x64 the Aligner must refuse LOUDLY at
+    construction (silent int64->int32 downcasts would corrupt
+    positions); the replicated staging path refuses too."""
+    import jax
+    from monitpu.ops.ms import prepare_tables
     base = rng.integers(1, 5, size=20000, dtype=np.int8)
     wide = build_index([base], names=["a"], already_encoded=True,
                        force_wide=True)
     with pytest.raises(NotImplementedError):
-        Aligner(wide, AlignConfig())
+        prepare_tables(wide)
+    if not jax.config.jax_enable_x64:
+        with pytest.raises(RuntimeError):
+            Aligner(wide, AlignConfig())
