@@ -705,7 +705,8 @@ class Aligner:
         """kwargs enabling the device score-pass in postseed_se (the
         plan/resolve split): active on the TPU engine with the read
         lanes still device-resident. {} -> host extz."""
-        if not (self.cfg.device_extz and "lanes" in h):
+        if not (self.cfg.device_extz
+                and ("lanes" in h or "lanes_halves" in h)):
             self.stats["extz_host_batches"] = (
                 self.stats.get("extz_host_batches", 0) + 1)
             return {}
@@ -714,21 +715,57 @@ class Aligner:
         from ..ops.extz import (dispatch_extz_jobs, collect_extz_jobs,
                                 job_caps)
         cfg = self.cfg
-        lanes = h["lanes"]
         if self._index_mesh is not None:
             text, score = None, self._sharded_extz
         else:
             text, score = self.tables["text_nibr"], None
 
-        def dispatch(jobs):
-            with phase_timer("device extz dispatch"):
-                return dispatch_extz_jobs(text, lanes, jobs, cfg.read_pad,
-                                          cfg.ext_len, cfg.sw,
-                                          score=score)
+        halves = h.get("lanes_halves")
+        if halves is not None:
+            # PE split handles: dispatch against the two SE-SHAPED lane
+            # matrices so the extz executables (which specialize on the
+            # lanes operand shape) are shared with SE — a concatenated
+            # [4B, M] matrix cost 4 fresh tier compiles (~90 s) on the
+            # first PE batch
+            la, lb = halves
+            r0 = int(la.shape[0])
 
-        def collect(fut):
-            with phase_timer("device extz collect"):
-                return collect_extz_jobs(fut)
+            def dispatch(jobs):
+                with phase_timer("device extz dispatch"):
+                    m = jobs["qrow"] < r0
+                    ja = {k: v[m] for k, v in jobs.items()}
+                    jb = {k: v[~m] for k, v in jobs.items()}
+                    jb["qrow"] = jb["qrow"] - r0
+                    return (m, dispatch_extz_jobs(
+                        text, la, ja, cfg.read_pad, cfg.ext_len, cfg.sw,
+                        score=score), dispatch_extz_jobs(
+                        text, lb, jb, cfg.read_pad, cfg.ext_len, cfg.sw,
+                        score=score))
+
+            def collect(st):
+                with phase_timer("device extz collect"):
+                    m, fa, fb = st
+                    ra = collect_extz_jobs(fa)
+                    rb = collect_extz_jobs(fb)
+                    out = []
+                    for va, vb in zip(ra, rb):
+                        o = np.empty(m.size, va.dtype)
+                        o[m] = va
+                        o[~m] = vb
+                        out.append(o)
+                    return tuple(out)
+        else:
+            lanes = h["lanes"]
+
+            def dispatch(jobs):
+                with phase_timer("device extz dispatch"):
+                    return dispatch_extz_jobs(text, lanes, jobs,
+                                              cfg.read_pad, cfg.ext_len,
+                                              cfg.sw, score=score)
+
+            def collect(fut):
+                with phase_timer("device extz collect"):
+                    return collect_extz_jobs(fut)
         q_cap, t_cap = job_caps(cfg.read_pad, cfg.ext_len)
         return dict(extz_runner=(dispatch, collect), q_cap=q_cap,
                     t_cap=t_cap)

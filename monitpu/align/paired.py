@@ -144,11 +144,11 @@ class PairedAligner:
                 lb, ln_b, max_mems, work, W, OC, occw)
             al._prefetch_wire(wire_a)
             al._prefetch_wire(wire_b)
-            lanes = jnp.concatenate([lanes_a, lanes_b], axis=0)
         return dict(batch1=batch1, batch2=batch2, split=True,
                     seeds=(seeds_a, seeds_b), wire=(wire_a, wire_b),
                     lanes_parts=((la, ln_a), (lb, ln_b)),
-                    W=W, occ_cap=OC, lanes=lanes,
+                    W=W, occ_cap=OC,
+                    lanes_halves=(lanes_a, lanes_b),
                     m1f=m1f, m1r=m1r, m2f=m2f, m2r=m2r,
                     len1=len1, len2=len2)
 

@@ -211,6 +211,28 @@ int monitpu_kasai_u8(const uint8_t* s, const int32_t* sa, int64_t n,
   return 0;
 }
 
+// In-place PLCP from the Phi array: phi[i] = text start of the suffix
+// ranked just above suffix i (or -1 where rank(i) == 0). Overwrites
+// phi with PLCP. The h-decrement amortization is the same as Kasai's,
+// but in TEXT order over a streamed-in Phi — the streaming index
+// build's replacement for monitpu_kasai_u8_64, whose rank array cost
+// 8 B/position of peak RSS (index/stream_build.py).
+int monitpu_plcp_u8(const uint8_t* s, int64_t n, int64_t* phi) {
+  int64_t h = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t j = phi[i];
+    if (j < 0) {
+      phi[i] = 0;
+      h = 0;
+      continue;
+    }
+    while (i + h < n && j + h < n && s[i + h] == s[j + h]) h++;
+    phi[i] = h;
+    if (h > 0) h--;
+  }
+  return 0;
+}
+
 // First argmin of lcp over row segments [lo_k, hi_k): the threshold
 // position extractor (one threshold per consecutive same-char run
 // pair). Replaces the lcp*n+i composite-key trick, which (a) needs

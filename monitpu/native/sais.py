@@ -49,8 +49,22 @@ def _load():
         lib.monitpu_kasai_u8_64.restype = ctypes.c_int
         lib.monitpu_kasai_u8_64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.monitpu_plcp_u8.restype = ctypes.c_int
+        lib.monitpu_plcp_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
     return _lib
+
+
+def plcp_inplace(text: np.ndarray, phi: np.ndarray) -> None:
+    """Overwrite phi (int64[n]; -1 at rank-0 positions) with PLCP."""
+    lib = _load()
+    rc = lib.monitpu_plcp_u8(
+        ctypes.c_void_p(np.ascontiguousarray(text.view(np.uint8)).ctypes.data),
+        ctypes.c_int64(text.size),
+        ctypes.c_void_p(phi.ctypes.data))
+    if rc != 0:
+        raise RuntimeError("monitpu_plcp_u8 failed")
 
 
 # texts beyond this use the 64-bit SA/LCP path (mirrors the reference's

@@ -167,12 +167,13 @@ def job_caps(read_pad, ext_len):
     return max(t[0] for t in tiers), max(t[1] for t in tiers)
 
 
-# per-tier-shape high-water mark of the padded job count: batches
-# whose J crosses a bucket boundary would otherwise recompile MID-RUN
-# (a multi-second stall under remote compile); rounding up to the
-# largest bucket seen keeps one executable per tier after warmup at
-# the cost of a little padding
-_J_HIGH_WATER = {}
+# fixed job-chunk size: every dispatch issues ceil(J / J_BUCKET) calls
+# of EXACTLY J_BUCKET jobs per tier, so each tier has ONE executable,
+# compiled on the tier's first use (SE warmup exercises all tiers) and
+# never again — round 5 measured 86 s of mid-run tier recompiles when
+# PE's job counts crossed the former high-water buckets. Calls within a
+# dispatch enqueue back-to-back (async); results ride one fused pull.
+J_BUCKET = 2048
 
 
 def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw,
@@ -197,30 +198,23 @@ def dispatch_extz_jobs(text, lanes, jobs, read_pad, ext_len, sw,
         assigned = np.where(fits, t, assigned)
     parts, devs = [], []
     for t, tier in enumerate(tiers):
-        idx = np.flatnonzero(assigned == t)
-        if idx.size == 0:
-            continue
-        # pad J to {2^k, 1.5*2^k} buckets: the kernel specializes on
-        # J, and job counts vary per batch — unbucketed J would
-        # recompile every batch, while pure powers of two pad up to
-        # ~2x. Pad jobs are valid 1x1 DPs whose results are dropped.
-        # All 7 job vectors ride ONE fused [7, Jp] int64 H2D.
-        k = 1 << max(8, int(np.ceil(np.log2(idx.size))))
-        Jp = (k - k // 4) if idx.size <= k - k // 4 else k
-        Jp = max(Jp, _J_HIGH_WATER.get(tier, 0))
-        _J_HIGH_WATER[tier] = Jp
-        fused = np.zeros((7, Jp), np.int64)
-        for r, k in enumerate(("qrow", "qoff", "qrev", "qlen",
-                               "tpos", "trev", "tlen")):
-            fused[r, :idx.size] = jobs[k][idx]
-        fused[3, idx.size:] = 1     # qlen pad: valid 1x1 DPs
-        fused[6, idx.size:] = 1     # tlen pad
-        mqe, mqt, cor = (score or extz_score_fused)(
-            text, lanes, jnp.asarray(fused),
-            QMAX=tier[0], TMAX=tier[1],
-            sm=sw.smatch, sx=sw.smismatch, go=sw.gapo, ge=sw.gape)
-        parts.append((idx, Jp))
-        devs.append(jnp.stack([mqe, mqt, cor]))
+        idx_t = np.flatnonzero(assigned == t)
+        for s in range(0, idx_t.size, J_BUCKET):
+            idx = idx_t[s:s + J_BUCKET]
+            # all 7 job vectors ride ONE fused [7, J_BUCKET] int64 H2D;
+            # pad jobs are valid 1x1 DPs whose results are dropped
+            fused = np.zeros((7, J_BUCKET), np.int64)
+            for r, k in enumerate(("qrow", "qoff", "qrev", "qlen",
+                                   "tpos", "trev", "tlen")):
+                fused[r, :idx.size] = jobs[k][idx]
+            fused[3, idx.size:] = 1     # qlen pad
+            fused[6, idx.size:] = 1     # tlen pad
+            mqe, mqt, cor = (score or extz_score_fused)(
+                text, lanes, jnp.asarray(fused),
+                QMAX=tier[0], TMAX=tier[1],
+                sm=sw.smatch, sx=sw.smismatch, go=sw.gapo, ge=sw.gape)
+            parts.append((idx, J_BUCKET))
+            devs.append(jnp.stack([mqe, mqt, cor]))
     fused = jnp.concatenate(devs, axis=1) if devs else None
     return (J, parts, fused)
 
