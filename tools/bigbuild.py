@@ -47,17 +47,31 @@ for h in range(1, HAPS):
 log(f"text ready ({sum(x.size for x in seqs)/1e9:.2f} Gbp), "
     f"rss={rss_gb():.1f} GB")
 
-from monitpu.index import build_index  # noqa: E402
+import os  # noqa: E402
 
+from monitpu.index import MoniIndex  # noqa: E402
+from monitpu.index.stream_build import build_index_streaming  # noqa: E402
+
+PREFIX = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "bigbuild")
 t0 = time.time()
-idx = build_index(seqs, names=[f"hap{h}" for h in range(HAPS)],
-                  already_encoded=True, consume=True,
-                  force_wide=GBP * HAPS < 2.0)  # smoke runs still test 64-bit
+# round-5 streaming build: disk-spilled SA/LCP + in-place PLCP + tables
+# written to the npz one at a time — peak RSS ~10 B/position vs the
+# direct builder's measured 47 (index/stream_build.py; equality with
+# build_index pinned by tests/test_stream_build.py)
+stats = build_index_streaming(
+    seqs, names=[f"hap{h}" for h in range(HAPS)], out_prefix=PREFIX,
+    already_encoded=True, force_wide=GBP * HAPS < 2.0, log=log)
 build_s = time.time() - t0
-log(f"index built: n={idx.n} ({idx.n/1e9:.2f} G) r={idx.r} "
-    f"n/r={idx.n/idx.r:.1f} dtype={idx.run_starts.dtype} "
-    f"tables={idx.nbytes()/1e9:.1f} GB in {build_s:.0f}s, "
-    f"peak rss={rss_gb():.1f} GB")
+build_rss = rss_gb()
+log(f"index built: n={stats['n']} ({stats['n']/1e9:.2f} G) "
+    f"r={stats['r']} n/r={stats['n']/stats['r']:.1f} in {build_s:.0f}s, "
+    f"BUILD peak rss={build_rss:.1f} GB "
+    f"({build_rss*1e9/stats['n']:.1f} B/position)")
+
+idx = MoniIndex.load(PREFIX)
+log(f"index loaded for serving: tables={idx.nbytes()/1e9:.1f} GB "
+    f"dtype={idx.run_starts.dtype}, rss={rss_gb():.1f} GB")
 assert idx.run_starts.dtype == np.int64, "expected the 64-bit path"
 
 # align sampled reads via the 64-bit CPU engine
@@ -94,5 +108,6 @@ log(f"aligned {aligned}/{len(reads)} reads in {dt:.1f}s "
     f"({len(reads)/dt:.0f} reads/s on 2 CPU cores), "
     f"truth-pos ok {ok}/{aligned}, final rss={rss_gb():.1f} GB")
 print(f"RESULT n={idx.n} r={idx.r} build_s={build_s:.0f} "
-      f"peak_rss_gb={rss_gb():.1f} tables_gb={idx.nbytes()/1e9:.2f} "
+      f"build_peak_rss_gb={build_rss:.1f} "
+      f"serve_peak_rss_gb={rss_gb():.1f} tables_gb={idx.nbytes()/1e9:.2f} "
       f"aligned={aligned}/{len(reads)} acc={ok/max(aligned,1):.4f}")
