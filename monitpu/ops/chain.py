@@ -1,5 +1,13 @@
 """Batched minimap2-style anchor chaining on TPU.
 
+STATUS: parity-test scaffold, not the production path. Production
+chaining runs in the native post-seed runtime (native/runtime.cpp
+chain_dp — host-side, where the ragged per-read chain/select/traceback
+logic is cheap and exact); this module exists to pin the device
+formulation of the same DP against it (tests/test_chain.py) and as the
+starting point if chaining ever needs to move on-chip (e.g. a future
+host-free pipeline).
+
 Reference: find_chains (include/aligner/chain.hpp:221-438): sort anchors
 by reference end, 1-D DP f[i] = max(w_i, max_j f[j] + alpha - beta) over
 a max_iter look-back window with mate-compatibility and distance masks,
