@@ -267,13 +267,13 @@ def cmd_align(args):
                 yield pad_batch(b1), pad_batch(b2)
 
         use_fast_pe = native and not csv_fd
-        pending = None   # (handle, batch_index, n_real_pairs)
+        from collections import deque
+        pe_subq, pe_begq = deque(), deque()  # (payload, batch_idx, nreal)
 
         def finish_pe(p):
             nonlocal n
-            h, pbi, nreal = p
-            sam, _ = paligner.finish_complete_pair_sam(
-                paligner.begin_complete_pair_sam(h))
+            st, pbi, nreal = p
+            sam, _ = paligner.finish_complete_pair_sam(st)
             text = sam.decode()
             lines = text.splitlines(keepends=True)
             if 2 * nreal < len(lines):   # drop trailing __pad__ pairs
@@ -289,13 +289,19 @@ def cmd_align(args):
             if bi <= skip_batches:
                 continue
             if use_fast_pe:
-                # 1-deep pipeline: submit k, then finish k-1 (its seed
-                # kernels overlap the host work of the previous batch)
+                # 2-deep pipeline, same order as the SE loop: submit
+                # k+1, begin k (pull + plan + extz dispatch), finish
+                # k-1 (resolve + SAM) — one batch deeper than round
+                # 4's so the device never idles during the host plan
                 nreal = sum(1 for r in b1 if r[0] != "__pad__")
-                h = paligner.submit_pair_batch(b1, b2)
-                if pending is not None:
-                    finish_pe(pending)
-                pending = (h, bi, nreal)
+                pe_subq.append((paligner.submit_pair_batch(b1, b2), bi,
+                                nreal))
+                if len(pe_subq) >= 2:
+                    h, pbi, pn = pe_subq.popleft()
+                    pe_begq.append((paligner.begin_complete_pair_sam(h),
+                                    pbi, pn))
+                if len(pe_begq) >= 2:
+                    finish_pe(pe_begq.popleft())
                 continue
             recs = (paligner.report_mems_pair_batch(b1, b2) if report
                     else paligner.align_pair_batch(b1, b2))
@@ -310,8 +316,11 @@ def cmd_align(args):
             checkpoint(bi)
             n += len(b1)
             log(f"{n} pairs, {n/(time.time()-t0):.0f} pairs/s")
-        if pending is not None:
-            finish_pe(pending)
+        while pe_subq:
+            h, pbi, pn = pe_subq.popleft()
+            pe_begq.append((paligner.begin_complete_pair_sam(h), pbi, pn))
+        while pe_begq:
+            finish_pe(pe_begq.popleft())
         log(f"done: {paligner.stats}")
     else:
         reads_file = args.mate1 or args.pattern

@@ -302,37 +302,78 @@ def build_index_streaming(seqs, names=None, out_prefix=None,
     del thr_cnt, thr_pos
     log("thresholds done")
 
-    # ---- Phi / Phi^-1 successor anchors (streamed finds) ----
-    # j0 = isa[0]: the row holding suffix 0, found by value
-    _, w0_prev, w0_next = _stream_find(sa_path, np.int64, n,
-                                       np.array([0], np.int64))
-    for fname_z, fname_w, fname_wl, from_starts, sam in (
-            ("phi_z", "phi_w", "phi_wl", True, samples_start),
-            ("phiinv_z", "phiinv_w", "phiinv_wl", False, samples_last)):
+    # ---- Phi / Phi^-1 successor anchors ----
+    # Key identity: for anchor z = (SA[j] - 1) mod n, the row isa[z] is
+    # the LF mapping of j — LF(j) = F[BWT[j]] + rank_{BWT[j]}(j) — which
+    # at run boundaries is O(1) from the rank tables ALREADY built
+    # (clen_at_run). No SA value-search passes at all (an earlier
+    # streamed-find formulation paid ~28 random cache misses per SA
+    # entry and dominated the 2.55 Gbp build); the only SA/LCP I/O left
+    # is four sorted-row gathers plus one pass locating isa[0].
+    heads_at = heads64
+    clen_own = np.empty(r, np.int64)
+    for c in range(SIGMA):
+        m = heads_at == c
+        # recompute clen rows (the [r, SIGMA] table was freed): # of c
+        # chars before each run, for the run's OWN head char only
+        wl_ = np.where(m, run_lens, 0)
+        cl = np.cumsum(wl_) - wl_
+        clen_own[m] = cl[m]
+    F_at_head = F[heads_at]
+
+    def lf_row(j):
+        """LF of arbitrary BWT rows j (int64 array)."""
+        rn = np.searchsorted(run_starts, j, side="right") - 1
+        c = heads_at[rn]
+        return F[c] + clen_own[rn] + (j - run_starts[rn])
+
+    # j0 = isa[0]: the one row holding suffix 0, located by value with
+    # one streamed pass (also yields SA[j0 +/- 1] for the extra anchors)
+    j0_rows, w0_prev, w0_next = _stream_find(sa_path, np.int64, n,
+                                             np.array([0], np.int64))
+    j0 = int(j0_rows[0])
+
+    for fname_z, fname_w, fname_wl, from_starts, sam, rows_j in (
+            ("phi_z", "phi_w", "phi_wl", True, samples_start,
+             run_starts),
+            ("phiinv_z", "phiinv_w", "phiinv_wl", False, samples_last,
+             run_ends)):
         z = (sam - 1) % n
-        z = np.concatenate([z, [n - 1]])
+        i = (F_at_head + clen_own +
+             (0 if from_starts else run_lens - 1))    # LF(rows_j)
+        extras_z, extras_i = [n - 1], [lf_row(np.array([j0]))[0]]
         extra = (int(w0_next[0]) - 1) if from_starts else \
             (int(w0_prev[0]) - 1)
         if 0 <= extra < n:
-            z = np.concatenate([z, [extra]])
-        z = np.unique(z)
-        rows, wp, wn = _stream_find(sa_path, np.int64, n, z)
+            je = j0 + 1 if from_starts else j0 - 1
+            extras_z.append(extra)
+            extras_i.append(lf_row(np.array([je]))[0])
+        z = np.concatenate([z, np.asarray(extras_z, np.int64)])
+        i = np.concatenate([i, np.asarray(extras_i, np.int64)])
+        order = np.argsort(z, kind="stable")
+        z, i = z[order], i[order]
+        keep = np.empty(z.size, bool)
+        keep[0] = True
+        keep[1:] = z[1:] != z[:-1]     # i is a function of z: dups agree
+        z, i = z[keep], i[keep]
+
+        def gather_rows(path, rows):
+            rows_c = np.clip(rows, 0, n - 1)
+            o = np.argsort(rows_c, kind="stable")
+            out = np.empty(rows.size, np.int64)
+            out[o] = _stream_gather(path, np.int64, n, rows_c[o])
+            return out
         if from_starts:
-            wv = np.where(rows > 0, wp, sa0_v)
-            order = np.argsort(rows, kind="stable")
-            wl_v = np.empty(rows.size, np.int64)
-            wl_v[order] = _stream_gather(lcp_path, np.int64, n,
-                                         rows[order])
+            wv = np.where(i > 0, gather_rows(sa_path, i - 1), sa0_v)
+            wl_v = gather_rows(lcp_path, i)
         else:
-            wv = np.where(rows < n - 1, wn, sa_last_v)
-            nxt = np.minimum(rows + 1, n - 1)
-            order = np.argsort(nxt, kind="stable")
-            got = np.empty(rows.size, np.int64)
-            got[order] = _stream_gather(lcp_path, np.int64, n, nxt[order])
-            wl_v = np.where(rows < n - 1, got, 0)
+            wv = np.where(i < n - 1, gather_rows(sa_path, i + 1),
+                          sa_last_v)
+            wl_v = np.where(i < n - 1, gather_rows(lcp_path, i + 1), 0)
         w.put(fname_z, z.astype(idt))
         w.put(fname_w, wv.astype(idt))
         w.put(fname_wl, wl_v.astype(idt))
+        log(f"{fname_z} done ({z.size} anchors)")
     log("phi anchors done")
 
     w.close()

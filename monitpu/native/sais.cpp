@@ -156,15 +156,18 @@ int monitpu_sais_u8(const uint8_t* s, int64_t n, int32_t* sa_out) {
 // 64-bit variant for texts beyond 2^31 (the reference's pipeline
 // switches to 64-bit pfp_thresholds binaries the same way when the
 // parse crosses 2^31, /root/reference/pipeline/moni.in:195-204).
-int monitpu_sais_u8_64(const uint8_t* s, int64_t n, int64_t* sa_out) {
+// sa_buf must hold n+1 entries and is used IN PLACE (no internal SA
+// copy — at pangenome scale the former extra vector was 8 B/position
+// of avoidable peak RSS); on return sa_buf[0..n) is the suffix array.
+int monitpu_sais_u8_64(const uint8_t* s, int64_t n, int64_t* sa_buf) {
   if (n <= 0) return -1;
   int64_t m = n + 1;
   std::vector<uint8_t> t(m);
   for (int64_t i = 0; i < n; i++) t[i] = s[i] + 1;
   t[n] = 0;
-  std::vector<int64_t> SA(m);
-  sais_core<uint8_t, int64_t>(t.data(), SA.data(), m, (int64_t)257);
-  std::memcpy(sa_out, SA.data() + 1, sizeof(int64_t) * n);
+  sais_core<uint8_t, int64_t>(t.data(), sa_buf, m, (int64_t)257);
+  // sa_buf[0] is the appended sentinel suffix (position n); drop it.
+  std::memmove(sa_buf, sa_buf + 1, sizeof(int64_t) * n);
   return 0;
 }
 

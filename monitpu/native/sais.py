@@ -77,8 +77,11 @@ def suffix_array(t: np.ndarray) -> np.ndarray:
     t = np.ascontiguousarray(t, dtype=np.uint8)
     n = t.size
     if n > INT32_LIMIT:
-        sa = np.empty(n, dtype=np.int64)
-        rc = lib.monitpu_sais_u8_64(t.ctypes.data, n, sa.ctypes.data)
+        # n+1 in-place buffer (the C side appends a sentinel suffix and
+        # compacts in place — no internal 8 B/position SA copy)
+        buf = np.empty(n + 1, dtype=np.int64)
+        rc = lib.monitpu_sais_u8_64(t.ctypes.data, n, buf.ctypes.data)
+        sa = buf[:n]
     else:
         sa = np.empty(n, dtype=np.int32)
         rc = lib.monitpu_sais_u8(t.ctypes.data, n, sa.ctypes.data)
